@@ -1,0 +1,58 @@
+"""mini-mcmc-tpu: a TPU-native MCMC framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
+``mini-mcmc`` (Rust, reference at /root/reference): Metropolis-Hastings,
+Hamiltonian Monte Carlo, the No-U-Turn Sampler and Gibbs sampling over
+thousands of lockstep parallel chains, with streaming convergence
+diagnostics (acceptance EWMA, live R-hat), Stan-style split R-hat + ESS,
+progress reporting, reproducible counter-based PRNG, checkpoint/resume, and
+CSV/Arrow/Parquet export of the canonical ``[n_chains, n_collect, dim]``
+sample cube.
+
+Design: targets and proposals are pure log-density functions; samplers are
+``(init, step)`` kernels over batched ``[n_chains, D]`` state pytrees;
+runners are ``lax.scan`` loops compiled once by XLA; chains shard over a
+``jax.sharding.Mesh`` axis for multi-chip scaling, with diagnostics reduced
+by XLA collectives over ICI.
+"""
+
+from . import models, ops, parallel, stats, utils
+from .checkpoint import load_checkpoint, save_checkpoint
+from .nuts import NUTS
+from .runner import make_initial_recording_runner, make_simple_runner
+from .samplers import HMC, GibbsSampler, MetropolisHastings
+from .stats import (
+    RunStats,
+    basic_stats,
+    collect_rhat,
+    run_stats,
+    split_rhat_mean_ess,
+)
+from .utils.init import chain_keys, init, init_det, init_with_seed
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "HMC",
+    "NUTS",
+    "GibbsSampler",
+    "MetropolisHastings",
+    "RunStats",
+    "basic_stats",
+    "chain_keys",
+    "collect_rhat",
+    "init",
+    "init_det",
+    "init_with_seed",
+    "load_checkpoint",
+    "make_initial_recording_runner",
+    "make_simple_runner",
+    "models",
+    "ops",
+    "parallel",
+    "run_stats",
+    "save_checkpoint",
+    "split_rhat_mean_ess",
+    "stats",
+    "utils",
+]

@@ -1,0 +1,38 @@
+"""Target distributions, proposals and conditionals (the reference's
+``distributions`` module, /root/reference/src/distributions.rs)."""
+
+from .base import Conditional, Proposal, Target
+from .discrete import (
+    Categorical,
+    binomial_target,
+    poisson_target,
+    random_walk_int_proposal,
+)
+from .gaussian import (
+    diffable_gaussian2d,
+    gaussian2d,
+    isotropic_gaussian_proposal,
+    isotropic_gaussian_target,
+    standard_normal,
+)
+from .mixture import constant_conditional, gaussian_mixture_conditional
+from .rosenbrock import rosenbrock2d, rosenbrock_nd
+
+__all__ = [
+    "Categorical",
+    "Conditional",
+    "Proposal",
+    "Target",
+    "binomial_target",
+    "constant_conditional",
+    "diffable_gaussian2d",
+    "gaussian2d",
+    "gaussian_mixture_conditional",
+    "isotropic_gaussian_proposal",
+    "isotropic_gaussian_target",
+    "poisson_target",
+    "random_walk_int_proposal",
+    "rosenbrock2d",
+    "rosenbrock_nd",
+    "standard_normal",
+]

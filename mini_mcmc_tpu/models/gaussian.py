@@ -1,0 +1,123 @@
+"""Gaussian targets and proposals.
+
+Reimplements (behaviorally) the reference's concrete distributions:
+``Gaussian2D`` (/root/reference/src/distributions.rs:158-206),
+``DiffableGaussian2D`` (:212-316) and ``IsotropicGaussian`` (:344-402),
+as pure-function ``Target``/``Proposal`` records operating on jnp arrays.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .base import Proposal, Target
+
+
+def gaussian2d(mean, cov) -> Target:
+    """2D Gaussian target with unnormalized and normalized log densities.
+
+    Matches ``Gaussian2D::unnorm_logp`` / ``Normalized::logp``
+    (/root/reference/src/distributions.rs:166-206): the unnormalized form is
+    the pure quadratic, the normalized form adds ``-ln(2*pi) - 0.5*ln|det|``.
+    """
+    mean = jnp.asarray(mean)
+    cov = jnp.asarray(cov)
+    a, b = cov[0, 0], cov[0, 1]
+    c, d = cov[1, 0], cov[1, 1]
+    det = a * d - b * c
+    inv_cov = jnp.array([[d, -b], [-c, a]]) / det
+
+    def unnorm_logp(x):
+        diff = x - mean
+        return -0.5 * diff @ inv_cov @ diff
+
+    def logp_normalized(x):
+        term_1 = -jnp.log(2.0 * math.pi)
+        term_2 = -0.5 * jnp.log(jnp.abs(det))
+        diff = x - mean
+        return term_1 + term_2 - 0.5 * diff @ inv_cov @ diff
+
+    return Target(logp=unnorm_logp, logp_normalized=logp_normalized)
+
+
+def diffable_gaussian2d(mean, cov) -> Target:
+    """Normalized 2D Gaussian for gradient-based samplers.
+
+    Matches ``DiffableGaussian2D`` (/root/reference/src/distributions.rs:212-316):
+    precomputed inverse covariance, log-determinant, and normalization
+    constant; ``logp`` returns the *normalized* log density (the reference's
+    ``unnorm_logp_batch`` includes ``norm_const``). An analytic batched form
+    keeps the quadratic as one fused matmul over all chains.
+    """
+    mean = jnp.asarray(mean)
+    cov = jnp.asarray(cov)
+    det = cov[0, 0] * cov[1, 1] - cov[0, 1] * cov[1, 0]
+    inv_cov = (
+        jnp.array([[cov[1, 1], -cov[0, 1]], [-cov[1, 0], cov[0, 0]]]) / det
+    )
+    logdet = jnp.log(det)
+    norm_const = -(2.0 * jnp.log(2.0 * math.pi) + logdet) / 2.0
+
+    def logp(x):
+        diff = x - mean
+        return norm_const - 0.5 * diff @ inv_cov @ diff
+
+    def logp_batch(positions):
+        delta = positions - mean[None, :]
+        z = delta @ inv_cov
+        quad = jnp.sum(z * delta, axis=-1)
+        return norm_const - 0.5 * quad
+
+    def grad(x):
+        # d/dx [-(1/2)(x-m)^T S^-1 (x-m)] = -S^-1 (x-m) (inv_cov symmetric)
+        return -inv_cov @ (x - mean)
+
+    return Target(logp=logp, logp_batch=logp_batch, grad=grad,
+                  logp_normalized=logp)
+
+
+def isotropic_gaussian_proposal(std) -> Proposal:
+    """Isotropic Gaussian random-walk proposal, any dimension.
+
+    Matches ``IsotropicGaussian`` as ``Proposal``
+    (/root/reference/src/distributions.rs:362-396). The log-density constant
+    replicates the reference formula verbatim, including its idiosyncratic
+    normalization ``-d/2 * ln(pi * std^4)`` (``distributions.rs:379-386``);
+    the constant cancels in symmetric MH accept ratios.
+    """
+
+    def sample(key, current):
+        noise = std * jax.random.normal(key, current.shape, current.dtype)
+        return current + noise
+
+    def logp(frm, to):
+        var = std * std
+        diff = to - frm
+        lp = -jnp.sum(diff * diff) / (2.0 * var)
+        d = frm.shape[-1]
+        return lp - d * 0.5 * jnp.log(var * math.pi * std * std)
+
+    return Proposal(sample=sample, logp=logp)
+
+
+def isotropic_gaussian_target(std) -> Target:
+    """Isotropic Gaussian as a target: ``-0.5 * sum(x^2) / std^2``
+    (/root/reference/src/distributions.rs:398-402)."""
+
+    def logp(x):
+        return -0.5 * jnp.sum(x * x) / (std * std)
+
+    return Target(logp=logp)
+
+
+def standard_normal() -> Target:
+    """Standard normal target ``-0.5 * sum(x^2)`` (test fixture analog of
+    /root/reference/src/nuts.rs:1024-1037)."""
+
+    def logp(x):
+        return -0.5 * jnp.sum(x * x)
+
+    return Target(logp=logp)

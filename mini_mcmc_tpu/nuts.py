@@ -1,0 +1,139 @@
+"""User-facing NUTS sampler.
+
+Mirrors the reference's multi-chain ``NUTS`` wrapper
+(/root/reference/src/nuts.rs:70-353): construct with a target, initial
+positions ``[n_chains, D]`` and a desired average acceptance probability;
+``run(n_collect, n_discard)`` adapts the step size during burn-in via dual
+averaging and returns ``[n_chains, n_collect, D]`` samples. Collection
+follows the reference convention (row 0 is the position at collection start;
+``n_collect + n_discard - 1`` steps total, nuts.rs:457-470).
+
+Where the reference Rayon-parallelizes one recursive chain per thread
+(nuts.rs:163-170), every chain here advances in lockstep inside one compiled
+``lax.scan`` over an iterative masked tree builder (see ``ops/nuts.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from . import stats as stats_mod
+from .models.base import Target
+from .ops.nuts import NUTSState, nuts_kernel
+from .progress import progress_run
+from .runner import make_initial_recording_runner
+from .samplers import _fresh_key
+
+
+class NUTS:
+    """No-U-Turn Sampler with dual-averaging step-size adaptation.
+
+    Args:
+        target: target distribution (``logp`` and optionally ``grad``).
+        initial_positions: ``[n_chains, D]`` starting points.
+        target_accept_p: desired average acceptance probability
+            (nuts.rs:123-129 takes it as the third constructor argument).
+        max_depth: tree-depth cap (the reference recursion is uncapped;
+            10 is Stan's default).
+        seed: optional base seed.
+    """
+
+    def __init__(
+        self,
+        target: Target,
+        initial_positions,
+        target_accept_p: float = 0.8,
+        max_depth: int = 10,
+        seed: Optional[int] = None,
+    ):
+        import jax.numpy as jnp
+
+        self.target = target
+        self.target_accept_p = target_accept_p
+        self.max_depth = max_depth
+        init_fn, prepare_fn, step_fn = nuts_kernel(
+            target, target_accept_p, max_depth
+        )
+        self.state: NUTSState = init_fn(jnp.asarray(initial_positions))
+        self._prepare_fn = jax.jit(prepare_fn, static_argnames=("n_discard",))
+        self._step_fn = step_fn
+        self._key = _fresh_key(seed)
+        self._runner = make_initial_recording_runner(
+            step_fn, tracker_update=stats_mod.tracker_update
+        )
+        # Chunked-progress path uses the simple convention; see run_progress.
+        from .runner import make_simple_runner
+
+        self._simple_runner = make_simple_runner(
+            step_fn, tracker_update=stats_mod.tracker_update
+        )
+
+    def seed(self, seed: int):
+        self._key = jax.random.PRNGKey(seed)
+        return self
+
+    set_seed = seed
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def positions(self) -> jax.Array:
+        return self.state.positions
+
+    @property
+    def n_chains(self) -> int:
+        return self.state.positions.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.state.positions.shape[1]
+
+    def run(self, n_collect: int, n_discard: int = 0) -> jax.Array:
+        """Sample; returns ``[n_chains, n_collect, D]``."""
+        self.state = self._prepare_fn(
+            self.state, self._next_key(), n_discard=n_discard
+        )
+        self.state, sample, _ = self._runner(
+            self.state, self._next_key(), n_collect, n_discard
+        )
+        return sample
+
+    def run_progress(self, n_collect: int, n_discard: int = 0):
+        """Sample with a live progress line; returns ``(sample, RunStats)``
+        (the analog of nuts.rs:194-338)."""
+        import jax.numpy as jnp
+
+        self.state = self._prepare_fn(
+            self.state, self._next_key(), n_discard=n_discard
+        )
+        # Reduce the initial-recording convention (n_collect + n_discard - 1
+        # steps) to the simple chunked driver: with n_discard == 0 the first
+        # row is the current position and n_collect - 1 further steps are
+        # recorded; otherwise it equals a simple run with one fewer discard.
+        if n_discard == 0:
+            first = self.state.positions[:, None, :]
+            self.state, rest = progress_run(
+                self._simple_runner,
+                self.state,
+                self._next_key(),
+                n_collect - 1,
+                0,
+                n_chains=self.n_chains,
+                dim=self.dim,
+            )
+            sample = jnp.concatenate([first, rest], axis=1)
+        else:
+            self.state, sample = progress_run(
+                self._simple_runner,
+                self.state,
+                self._next_key(),
+                n_collect,
+                n_discard - 1,
+                n_chains=self.n_chains,
+                dim=self.dim,
+            )
+        return sample, stats_mod.run_stats(sample)

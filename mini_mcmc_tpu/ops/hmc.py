@@ -1,0 +1,91 @@
+"""Batched Hamiltonian Monte Carlo step kernel.
+
+TPU-native redesign of the reference's data-parallel HMC
+(``HMC::step``/``leapfrog``, /root/reference/src/hmc.rs:304-431): all chains
+advance in lockstep as ``[n_chains, D]`` tensors; the leapfrog integrator is
+a ``lax.scan`` over L steps that keeps the reference's fused half-step trick
+(cache ``eps/2 * grad`` between iterations so each leapfrog step costs one
+gradient evaluation, hmc.rs:323-325, :408-425).
+
+Improvements over the reference's evaluation count (numerically identical):
+the gradient and log density at the current position are carried in the
+state, so a full HMC step costs exactly ``n_leapfrog`` gradient evaluations
+(the reference re-evaluates at the trajectory start and once more at the
+trajectory end, hmc.rs:317-324, :429-430). The reference's ``set_seed`` also
+never determinizes the accept draws (its CPU-generated uniforms are dead
+code, hmc.rs:355-363); here every draw comes from the explicit step key.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.base import Target
+
+
+class HMCState(NamedTuple):
+    positions: jax.Array  # [C, D]
+    logp: jax.Array  # [C] cached target log density at positions
+    grad: jax.Array  # [C, D] cached gradient at positions
+
+
+def hmc_kernel(target: Target, step_size: float, n_leapfrog: int):
+    """Build ``(init_fn, step_fn)`` for batched HMC.
+
+    ``init_fn(positions [C, D]) -> HMCState``
+    ``step_fn(state, key) -> HMCState``
+    """
+
+    def init_fn(positions: jax.Array) -> HMCState:
+        logp, grad = target.batch_logp_and_grad(positions)
+        return HMCState(positions=positions, logp=logp, grad=grad)
+
+    def leapfrog(pos, mom, logp, grad):
+        """L leapfrog steps with cached half-step gradient summands
+        (hmc.rs:397-431). Returns (pos', mom', logp', grad')."""
+        half_eps = step_size * 0.5
+
+        def body(carry, _):
+            pos, mom, _, grad = carry
+            mom = mom + grad * half_eps
+            pos = pos + step_size * mom
+            logp, grad = target.batch_logp_and_grad(pos)
+            mom = mom + grad * half_eps
+            return (pos, mom, logp, grad), None
+
+        (pos, mom, logp, grad), _ = lax.scan(
+            body, (pos, mom, logp, grad), None, length=n_leapfrog
+        )
+        return pos, mom, logp, grad
+
+    def step_fn(state: HMCState, key: jax.Array) -> HMCState:
+        n_chains = state.positions.shape[0]
+        key_mom, key_u = jax.random.split(key)
+
+        mom0 = jax.random.normal(
+            key_mom, state.positions.shape, state.positions.dtype
+        )
+        ke_current = 0.5 * jnp.sum(mom0 * mom0, axis=1)
+        h_current = -state.logp + ke_current
+
+        pos_prop, mom_prop, logp_prop, grad_prop = leapfrog(
+            state.positions, mom0, state.logp, state.grad
+        )
+        ke_proposed = 0.5 * jnp.sum(mom_prop * mom_prop, axis=1)
+        h_proposed = -logp_prop + ke_proposed
+
+        # Accept iff H_cur - H_prop >= ln(u) per chain (hmc.rs:343-376).
+        accept_logp = h_current - h_proposed
+        u = jax.random.uniform(key_u, (n_chains,), accept_logp.dtype)
+        accept = accept_logp >= jnp.log(u)
+
+        positions = jnp.where(accept[:, None], pos_prop, state.positions)
+        logp = jnp.where(accept, logp_prop, state.logp)
+        grad = jnp.where(accept[:, None], grad_prop, state.grad)
+        return HMCState(positions=positions, logp=logp, grad=grad)
+
+    return init_fn, step_fn

@@ -1,0 +1,17 @@
+"""Multi-chip chain sharding (mesh, shardings, collective diagnostics)."""
+
+from .mesh import (
+    chain_mesh,
+    chain_sharding,
+    replicated_sharding,
+    shard_chains,
+    shard_sampler_state,
+)
+
+__all__ = [
+    "chain_mesh",
+    "chain_sharding",
+    "replicated_sharding",
+    "shard_chains",
+    "shard_sampler_state",
+]

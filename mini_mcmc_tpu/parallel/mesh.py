@@ -1,0 +1,70 @@
+"""Device mesh and chain-sharding helpers.
+
+The reference's only parallelism axes are OS threads over chains (Rayon,
+/root/reference/src/core.rs:178-182) — it has no distributed backend at all
+(SURVEY.md section 2). The TPU-native scaling story is pure data parallelism
+over the *chains* axis: lay chains out over a 1-D ``jax.sharding.Mesh`` and
+let XLA's SPMD partitioner run the identical compiled scan per shard. Chains
+never communicate during sampling; only the diagnostics reductions
+(between-chain variance for R-hat needs all chain means,
+/root/reference/src/stats.rs:155-178) cross chips, and those lower to
+``psum``-family collectives over ICI automatically when computed from
+sharded arrays.
+
+Model/tensor/pipeline/sequence parallelism are N/A for this workload (no
+model layers, no sequence axis — see SURVEY.md section 2); chains are the
+single distribution axis, plus optional sharding of very large state
+dimensions inside user logp functions.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+CHAIN_AXIS = "chains"
+
+
+def chain_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over the chains axis.
+
+    Args:
+        n_devices: number of devices to use (default: all).
+        devices: explicit device list (overrides ``n_devices``).
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (CHAIN_AXIS,))
+
+
+def chain_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Sharding for a ``[chains, ...]`` array: chains split over the mesh,
+    trailing axes replicated."""
+    spec = P(CHAIN_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_chains(mesh: Mesh, array: jax.Array) -> jax.Array:
+    """Place a ``[chains, ...]`` array with its leading axis sharded."""
+    return jax.device_put(array, chain_sharding(mesh, array.ndim))
+
+
+def shard_sampler_state(mesh: Mesh, state):
+    """Shard every leaf of a sampler state pytree along its leading (chains)
+    axis; scalar leaves are replicated."""
+
+    def place(x):
+        if getattr(x, "ndim", 0) >= 1:
+            return jax.device_put(x, chain_sharding(mesh, x.ndim))
+        return jax.device_put(x, replicated_sharding(mesh))
+
+    return jax.tree_util.tree_map(place, state)

@@ -1,0 +1,154 @@
+"""User-facing sampler objects.
+
+Thin stateful wrappers around the pure step kernels in ``ops/``, mirroring
+the reference's sampler surface (``MetropolisHastings``
+/root/reference/src/metropolis_hastings.rs:87-321, ``HMC``
+/root/reference/src/hmc.rs:36-432, ``GibbsSampler``
+/root/reference/src/gibbs.rs:34-205): construct with a target and initial
+positions, optionally ``seed``, then ``run(n_collect, n_discard)`` returning
+the ``[n_chains, n_collect, dim]`` sample cube. The wrapper carries the
+sampler state pytree between runs, which makes consecutive runs continue the
+chains and makes checkpoint/resume trivial (closing the reference's open TODO
+at /root/reference/src/core.rs:134) — see ``mini_mcmc_tpu.checkpoint``.
+
+Seeding: the reference derives per-chain ``SmallRng`` seeds with
+algorithm-specific offsets (mh.rs:187-193, gibbs.rs:179-187,
+nuts.rs:347-353); here one base key is split per step and folded per chain —
+distribution-identical, documented as non-bitwise-compatible.
+"""
+
+from __future__ import annotations
+
+import secrets
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import stats as stats_mod
+from .models.base import Conditional, Proposal, Target
+from .ops.gibbs import gibbs_kernel
+from .ops.hmc import hmc_kernel
+from .ops.mh import mh_kernel
+from .progress import progress_run
+from .runner import make_simple_runner
+
+
+def _fresh_key(seed: Optional[int]) -> jax.Array:
+    if seed is None:
+        seed = secrets.randbits(63)
+    return jax.random.PRNGKey(seed)
+
+
+class _KernelSampler:
+    """Shared run/run_progress plumbing for kernel-based samplers."""
+
+    #: collection convention; NUTS overrides (see ops/nuts.py)
+    _record_initial = False
+
+    def __init__(self, init_fn, step_fn, initial_positions, seed=None):
+        self.state = init_fn(jnp.asarray(initial_positions))
+        self._step_fn = step_fn
+        self._key = _fresh_key(seed)
+        self._runner = make_simple_runner(
+            step_fn, tracker_update=stats_mod.tracker_update
+        )
+
+    # -- seeding -----------------------------------------------------------
+    def seed(self, seed: int):
+        """Reseed the sampler (chainable, like the reference's
+        ``seed``/``set_seed`` builders)."""
+        self._key = jax.random.PRNGKey(seed)
+        return self
+
+    set_seed = seed
+
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @property
+    def positions(self) -> jax.Array:
+        return self.state.positions
+
+    @property
+    def n_chains(self) -> int:
+        return self.state.positions.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.state.positions.shape[1]
+
+    # -- running -----------------------------------------------------------
+    def run(self, n_collect: int, n_discard: int = 0) -> jax.Array:
+        """Advance ``n_collect + n_discard`` steps; return the last
+        ``n_collect`` states as ``[n_chains, n_collect, dim]``."""
+        self.state, sample, _ = self._runner(
+            self.state, self._next_key(), n_collect, n_discard
+        )
+        return sample
+
+    def run_progress(self, n_collect: int, n_discard: int = 0):
+        """Like :meth:`run`, with live progress (global bar with streaming
+        ``p(accept)`` and ``max R-hat``, the lockstep analog of
+        /root/reference/src/core.rs:208-360) and final
+        :class:`~mini_mcmc_tpu.stats.RunStats`."""
+        self.state, sample = progress_run(
+            self._runner,
+            self.state,
+            self._next_key(),
+            n_collect,
+            n_discard,
+            n_chains=self.n_chains,
+            dim=self.dim,
+        )
+        return sample, stats_mod.run_stats(sample)
+
+
+class MetropolisHastings(_KernelSampler):
+    """Batched Metropolis-Hastings over parallel chains.
+
+    Example:
+        >>> from mini_mcmc_tpu import MetropolisHastings, init_det
+        >>> from mini_mcmc_tpu.models import gaussian2d, isotropic_gaussian_proposal
+        >>> target = gaussian2d([0., 0.], [[1., 0.], [0., 1.]])
+        >>> mh = MetropolisHastings(target, isotropic_gaussian_proposal(1.0),
+        ...                         init_det(4, 2)).seed(42)
+        >>> sample = mh.run(1000, 100)
+        >>> sample.shape
+        (4, 1000, 2)
+    """
+
+    def __init__(self, target: Target, proposal: Proposal, initial_positions,
+                 seed: Optional[int] = None):
+        self.target = target
+        self.proposal = proposal
+        init_fn, step_fn = mh_kernel(target, proposal)
+        super().__init__(init_fn, step_fn, initial_positions, seed)
+
+
+class HMC(_KernelSampler):
+    """Batched Hamiltonian Monte Carlo (data-parallel leapfrog).
+
+    Mirrors ``HMC::new(target, initial_positions, step_size, n_leapfrog)``
+    (/root/reference/src/hmc.rs:87-109).
+    """
+
+    def __init__(self, target: Target, initial_positions, step_size: float,
+                 n_leapfrog: int, seed: Optional[int] = None):
+        self.target = target
+        self.step_size = step_size
+        self.n_leapfrog = n_leapfrog
+        init_fn, step_fn = hmc_kernel(target, step_size, n_leapfrog)
+        super().__init__(init_fn, step_fn, initial_positions, seed)
+
+
+class GibbsSampler(_KernelSampler):
+    """Batched Gibbs sampler: one step = one full coordinate sweep
+    (/root/reference/src/gibbs.rs:95-99)."""
+
+    def __init__(self, conditional: Conditional, initial_positions,
+                 seed: Optional[int] = None):
+        self.conditional = conditional
+        init_fn, step_fn = gibbs_kernel(conditional)
+        super().__init__(init_fn, step_fn, initial_positions, seed)

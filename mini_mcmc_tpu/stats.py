@@ -1,0 +1,370 @@
+"""Streaming and final MCMC diagnostics.
+
+Behavioral port of ``/root/reference/src/stats.rs`` to batched JAX:
+
+- ``MultiChainTracker`` (stats.rs:189-307) -> :class:`TrackerState` pytree
+  updated on-device inside the sampling scan.
+- ``collect_rhat``/``withinvar_from_cs`` (stats.rs:150-178) -> live R-hat
+  from streaming moments.
+- ``split_rhat_mean_ess`` (stats.rs:416-546) -> split chains, within/between
+  variances, Stan-style rho_t with Geyer initial-monotone pairwise sums.
+- ``autocov`` (stats.rs:548-654) -> brute force for n <= 100, batched FFT
+  otherwise (``jnp.fft`` over all chain/parameter sequences at once; the
+  reference Rayon-parallelizes per parameter, stats.rs:588-590).
+
+Formula quirks preserved on purpose (parity targets):
+
+- The *final* split R-hat is ``sqrt(W / var)`` (stats.rs:425-427) — the
+  inverse of the tracker's live ``sqrt(var / W)`` (stats.rs:152, :284).
+- The tracker's acceptance probability is an EWMA (alpha = 0.01) of the
+  "state changed" indicator folded sequentially across chains within a step
+  (stats.rs:13, :250-255).
+- ``collect_rhat``'s between-chain variance divides by
+  ``n_chains * n_params - 1`` (``diffs.len() - 1``, stats.rs:173).
+
+All heavy computation is float32, matching the reference (stats.rs uses f32
+throughout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+ALPHA = 0.01  # EWMA coefficient for acceptance tracking (stats.rs:13)
+
+
+# ---------------------------------------------------------------------------
+# Streaming trackers (on-device, carried through the sampling scan)
+# ---------------------------------------------------------------------------
+
+
+class TrackerState(NamedTuple):
+    """Running moments for all chains: ``MultiChainTracker`` as a pytree.
+
+    Fields mirror /root/reference/src/stats.rs:189-197 with shapes
+    ``[n_chains, n_params]``.
+    """
+
+    n: jax.Array  # scalar int32, number of steps seen
+    p_accept: jax.Array  # scalar f32 EWMA acceptance probability
+    last_state: jax.Array  # [C, P] f32
+    mean: jax.Array  # [C, P] f32
+    mean_sq: jax.Array  # [C, P] f32
+
+
+def tracker_init(n_chains: int, n_params: int, initial_state=None) -> TrackerState:
+    """Fresh tracker; ``initial_state`` seeds ``last_state`` (zeros in the
+    reference's MultiChainTracker, stats.rs:208-219)."""
+    shape = (n_chains, n_params)
+    last = (
+        jnp.zeros(shape, jnp.float32)
+        if initial_state is None
+        else jnp.asarray(initial_state, jnp.float32)
+    )
+    return TrackerState(
+        n=jnp.zeros((), jnp.int32),
+        p_accept=jnp.zeros((), jnp.float32),
+        last_state=last,
+        mean=jnp.zeros(shape, jnp.float32),
+        mean_sq=jnp.zeros(shape, jnp.float32),
+    )
+
+
+def tracker_update(t: TrackerState, x: jax.Array) -> TrackerState:
+    """One streaming update (stats.rs:228-259).
+
+    The reference folds the acceptance EWMA sequentially over chain rows
+    within the step; the closed form uses weights
+    ``alpha * (1-alpha)^(C-1-i)`` plus ``(1-alpha)^C`` on the old value.
+    """
+    x = x.astype(jnp.float32)
+    if x.ndim == 1:
+        x = x[:, None]
+    n_chains = x.shape[0]
+    n = (t.n + 1).astype(jnp.float32)
+
+    mean = (t.mean * (n - 1.0) + x) / n
+    mean_sq = (t.mean_sq * (n - 1.0) + x * x) / n
+
+    accepted = jnp.any(x != t.last_state, axis=1).astype(jnp.float32)  # [C]
+    decay = (1.0 - ALPHA) ** jnp.arange(n_chains - 1, -1, -1, dtype=jnp.float32)
+    p_accept = t.p_accept * (1.0 - ALPHA) ** n_chains + ALPHA * jnp.sum(
+        decay * accepted
+    )
+
+    return TrackerState(
+        n=t.n + 1, p_accept=p_accept, last_state=x, mean=mean, mean_sq=mean_sq
+    )
+
+
+class ChainStats(NamedTuple):
+    """Snapshot of per-chain streaming statistics (stats.rs:43-48)."""
+
+    n: jax.Array
+    p_accept: jax.Array
+    mean: jax.Array  # [P] or [C, P]
+    sm2: jax.Array  # [P] or [C, P]
+
+
+def tracker_stats(t: TrackerState) -> ChainStats:
+    """Bias-corrected snapshot: ``sm2 = (mean_sq - mean^2) * n/(n-1)``
+    (stats.rs:132-140, :300)."""
+    n = t.n.astype(jnp.float32)
+    sm2 = (t.mean_sq - t.mean**2) * n / (n - 1.0)
+    return ChainStats(n=t.n, p_accept=t.p_accept, mean=t.mean, sm2=sm2)
+
+
+def tracker_rhat(t: TrackerState) -> jax.Array:
+    """Live per-parameter R-hat from streaming moments
+    (``MultiChainTracker::rhat``, stats.rs:282-306): ``sqrt(var / W)``."""
+    n_chains = t.mean.shape[0]
+    n = t.n.astype(jnp.float32)
+    mean_chain = jnp.mean(t.mean, axis=0)  # [P]
+    fac = n / (n_chains - 1.0)
+    between = jnp.sum((t.mean - mean_chain[None, :]) ** 2, axis=0) * fac
+    sm2 = (t.mean_sq - t.mean**2) * n / (n - 1.0)
+    within = jnp.mean(sm2, axis=0)
+    var = within * ((n - 1.0) / n) + between * (1.0 / n)
+    return jnp.sqrt(var / within)
+
+
+def tracker_max_rhat(t: TrackerState) -> jax.Array:
+    return jnp.max(tracker_rhat(t))
+
+
+def collect_rhat(means: jax.Array, sm2s: jax.Array, ns: jax.Array) -> jax.Array:
+    """Live R-hat from per-chain ``ChainStats`` (stats.rs:150-178).
+
+    Args:
+        means: ``[C, P]`` per-chain running means.
+        sm2s: ``[C, P]`` per-chain bias-corrected second moments.
+        ns: ``[C]`` per-chain step counts.
+
+    Preserves the reference's ``diffs.len() - 1`` (= C*P - 1) between-chain
+    divisor (stats.rs:173).
+    """
+    means = jnp.asarray(means, jnp.float32)
+    sm2s = jnp.asarray(sm2s, jnp.float32)
+    within = jnp.mean(sm2s, axis=0)
+    global_means = jnp.mean(means, axis=0)
+    diffs = means - global_means[None, :]
+    between = jnp.sum(diffs**2, axis=0) / (diffs.size - 1)
+    n = jnp.mean(jnp.asarray(ns, jnp.float32))
+    var = between + within * ((n - 1.0) / n)
+    return jnp.sqrt(var / within)
+
+
+# ---------------------------------------------------------------------------
+# Autocovariance (stats.rs:548-654)
+# ---------------------------------------------------------------------------
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+@partial(jax.jit, static_argnames=())
+def autocov_fft(sample: jax.Array) -> jax.Array:
+    """FFT autocovariance of each column of an ``[n, d]`` array -> ``[n, d]``.
+
+    Zero-pads to the next power of two >= 2n-1 (stats.rs:580-584); biased
+    normalization ``1/n``. Batched over columns in one ``jnp.fft`` call.
+    """
+    sample = jnp.asarray(sample, jnp.float32)
+    n = sample.shape[0]
+    n_padded = _next_pow2(max(2 * n - 1, 1))
+    x = sample - jnp.mean(sample, axis=0, keepdims=True)
+    f = jnp.fft.rfft(x, n=n_padded, axis=0)
+    acov = jnp.fft.irfft(jnp.abs(f) ** 2, n=n_padded, axis=0)[:n]
+    return acov / n
+
+
+@partial(jax.jit, static_argnames=())
+def autocov_bf(sample: jax.Array) -> jax.Array:
+    """Brute-force autocovariance (stats.rs:632-654), used for n <= 100.
+
+    ``out[lag, d] = sum_t x[t, d] * x[t+lag, d] / n`` on mean-subtracted x.
+    Vectorized as a masked outer product over (t, lag) — n is small here.
+    """
+    sample = jnp.asarray(sample, jnp.float32)
+    n = sample.shape[0]
+    x = sample - jnp.mean(sample, axis=0, keepdims=True)
+    # prod[t, lag, d] = x[t] * x[t + lag], zero where t + lag >= n.
+    idx = jnp.arange(n)
+    shift_idx = idx[:, None] + idx[None, :]  # [t, lag]
+    valid = shift_idx < n
+    gathered = x[jnp.clip(shift_idx, 0, n - 1)]  # [t, lag, d]
+    prod = x[:, None, :] * gathered * valid[:, :, None]
+    return jnp.sum(prod, axis=0) / n
+
+
+def autocov(sample: jax.Array) -> jax.Array:
+    """Dispatch: brute force for n <= 100, FFT beyond (stats.rs:548-554)."""
+    if sample.shape[0] <= 100:
+        return autocov_bf(sample)
+    return autocov_fft(sample)
+
+
+# ---------------------------------------------------------------------------
+# Split R-hat + ESS (stats.rs:394-546)
+# ---------------------------------------------------------------------------
+
+
+def _splitcat(sample: jax.Array) -> jax.Array:
+    """(C, n, P) -> (2C, n//2, P): first and last halves of each chain
+    (stats.rs:396-402; the middle element is dropped when n is odd)."""
+    n = sample.shape[1]
+    half = n // 2
+    return jnp.concatenate([sample[:, :half], sample[:, n - half :]], axis=0)
+
+
+def _withinvar(splitted: jax.Array):
+    """Within-chain variance W and pooled var estimate per parameter
+    (stats.rs:429-477). Input ``[2C, n', P]``."""
+    c = splitted.shape[0]
+    n = splitted.shape[1]
+    chain_means = jnp.mean(splitted, axis=1)  # [2C, P]
+    overall_mean = jnp.mean(chain_means, axis=0)  # [P]
+    diff = chain_means - overall_mean[None, :]
+    b = jnp.sum(diff**2, axis=0) * (n / (c - 1.0))
+    squares = jnp.mean(
+        (splitted - chain_means[:, None, :]) ** 2, axis=1
+    )  # [2C, P] biased per-chain variance
+    w = jnp.mean(squares, axis=0)
+    v = ((n - 1.0) / n) * w + b / n
+    return w, v
+
+
+def _geyer_tau(rho: jax.Array) -> jax.Array:
+    """Geyer initial-monotone pairwise sum (stats.rs:518-543).
+
+    ``rho``: ``[n, P]``. Pairs ``P_t = rho[2t] + rho[2t+1]``; accumulate the
+    running minimum of pair sums while they stay positive;
+    ``tau = -1 + 2 * sum``.
+    """
+    n = rho.shape[0]
+    n_pairs = n // 2
+    if n_pairs == 0:
+        return jnp.full(rho.shape[1:], -1.0, rho.dtype)
+    pairs = rho[: 2 * n_pairs].reshape(n_pairs, 2, -1).sum(axis=1)  # [T, P]
+    positive = pairs > 0.0
+    valid = jnp.cumprod(positive.astype(rho.dtype), axis=0)
+    running_min = jax.lax.associative_scan(jnp.minimum, pairs, axis=0)
+    out = jnp.sum(valid * running_min, axis=0)
+    return -1.0 + 2.0 * out
+
+
+def _ess(splitted: jax.Array, within: jax.Array, var: jax.Array) -> jax.Array:
+    """ESS per parameter (stats.rs:496-546). Input ``[2C, n', P]``."""
+    n_chains, n_steps = splitted.shape[0], splitted.shape[1]
+    if n_steps <= 100:
+        chain_rho = jax.vmap(autocov_bf)(splitted)  # [2C, n', P]
+    else:
+        chain_rho = jax.vmap(autocov_fft)(splitted)
+    avg_rho = jnp.mean(chain_rho, axis=0)  # [n', P]
+    rho = 1.0 - (within[None, :] - avg_rho) / var[None, :]
+    tau = _geyer_tau(rho)
+    return (n_chains * n_steps) / tau
+
+
+def split_rhat_mean_ess(sample: jax.Array):
+    """Split R-hat and ESS per parameter following Stan's methodology
+    (stats.rs:416-423).
+
+    Args:
+        sample: ``[chains, observations, parameters]``.
+
+    Returns:
+        ``(rhat [P], ess [P])``. Note the reference's split R-hat is
+        ``sqrt(W / var)`` (stats.rs:425-427), preserved here.
+    """
+    sample = jnp.asarray(sample, jnp.float32)
+    splitted = _splitcat(sample)
+    within, var = _withinvar(splitted)
+    rhat = jnp.sqrt(within / var)
+    ess = _ess(splitted, within, var)
+    return rhat, ess
+
+
+def ess_from_chainstats(sample: jax.Array, means, sm2s, ns) -> jax.Array:
+    """ESS from live streaming stats without splitting (stats.rs:668-671)."""
+    sample = jnp.asarray(sample, jnp.float32)
+    means = jnp.asarray(means, jnp.float32)
+    sm2s = jnp.asarray(sm2s, jnp.float32)
+    within = jnp.mean(sm2s, axis=0)
+    global_means = jnp.mean(means, axis=0)
+    diffs = means - global_means[None, :]
+    between = jnp.sum(diffs**2, axis=0) / (diffs.size - 1)
+    n = jnp.mean(jnp.asarray(ns, jnp.float32))
+    var = between + within * ((n - 1.0) / n)
+    return _ess(sample, within, var)
+
+
+# ---------------------------------------------------------------------------
+# Run summaries (stats.rs:309-392)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BasicStats:
+    """min/median/max/mean/std summary (stats.rs:373-392)."""
+
+    name: str
+    min: float
+    median: float
+    max: float
+    mean: float
+    std: float
+
+    def __str__(self) -> str:
+        return (
+            f"{self.name} in [{self.min:.2f}, {self.max:.2f}], "
+            f"median: {self.median:.2f}, mean: {self.mean:.2f} ± {self.std:.2f}"
+        )
+
+
+def basic_stats(name: str, data) -> BasicStats:
+    """Summary preserving the reference's descending-sort median index
+    ``data[len/2]`` and ddof=1 std (stats.rs:310-336)."""
+    data = jnp.asarray(data, jnp.float32).ravel()
+    desc = jnp.sort(data)[::-1]
+    n = data.shape[0]
+    std = float(jnp.std(data, ddof=1)) if n > 1 else 0.0
+    return BasicStats(
+        name=name,
+        min=float(desc[-1]),
+        median=float(desc[n // 2]),
+        max=float(desc[0]),
+        mean=float(jnp.mean(data)),
+        std=std,
+    )
+
+
+@dataclasses.dataclass
+class RunStats:
+    """Final run diagnostics: ESS and split R-hat summaries
+    (stats.rs:339-371)."""
+
+    ess: BasicStats
+    rhat: BasicStats
+
+    def __str__(self) -> str:
+        return f"{self.ess}\n{self.rhat}"
+
+    @classmethod
+    def from_sample(cls, sample) -> "RunStats":
+        rhat, ess = split_rhat_mean_ess(sample)
+        return cls(ess=basic_stats("ESS", ess), rhat=basic_stats("Split R-hat", rhat))
+
+
+def run_stats(sample) -> RunStats:
+    """Convenience: final diagnostics for a ``[C, N, P]`` sample cube."""
+    return RunStats.from_sample(sample)

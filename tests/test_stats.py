@@ -1,0 +1,151 @@
+"""Diagnostics tests.
+
+Mirrors the reference's stats test suite
+(/root/reference/src/stats.rs:673-834): R-hat golden values from
+hand-computed two-step fixtures, autocovariance FFT-vs-bruteforce on the
+same inputs, and the iid-uniform ESS sanity floor (ESS.min > 3800 of 4000,
+R-hat.max < 1.01).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_mcmc_tpu import stats as S
+
+
+def _rhat_after_two_steps(data0, data1):
+    t = S.tracker_init(3, 4)
+    t = S.tracker_update(t, jnp.asarray(data0))
+    t = S.tracker_update(t, jnp.asarray(data1))
+    return np.asarray(S.tracker_rhat(t))
+
+
+def test_rhat_golden_1():
+    # /root/reference/src/stats.rs:703-720
+    data0 = [[0.0, 1.0, 0.0, 1.0], [1.0, 2.0, 0.0, 2.0], [0.0, 0.0, 0.0, 2.0]]
+    data1 = [[1.0, 2.0, 2.0, 0.0], [1.0, 1.0, 1.0, 1.0], [0.0, 1.0, 0.0, 0.0]]
+    expected = np.array([np.sqrt(2.0), 1.0801234, 0.8944272, 0.8660254])
+    got = _rhat_after_two_steps(data0, data1)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_rhat_golden_2():
+    # /root/reference/src/stats.rs:739-752
+    data0 = [[1.0, 0.0, 0.0, 1.0], [1.0, 0.0, 0.0, 1.0], [0.0, 1.0, 0.0, 2.0]]
+    data1 = [[1.0, 2.0, 0.0, 2.0], [1.0, 2.0, 0.0, 0.0], [2.0, 0.0, 1.0, 2.0]]
+    expected = np.array([1.0 / np.sqrt(2.0), 0.74535599, 1.0, 1.5])
+    got = _rhat_after_two_steps(data0, data1)
+    np.testing.assert_allclose(got, expected, atol=1e-5)
+
+
+def test_autocov_single_param_golden():
+    # /root/reference/src/stats.rs:777-789
+    data = jnp.array([[1.0], [2.0], [3.0], [4.0]])
+    expected = np.array([[1.25], [0.3125], [-0.375], [-0.5625]])
+    np.testing.assert_allclose(np.asarray(S.autocov_bf(data)), expected, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(S.autocov_fft(data)), expected, atol=1e-5)
+
+
+def test_autocov_two_params_golden():
+    # /root/reference/src/stats.rs:794-808
+    data = jnp.array([[1.0, 0.3], [2.0, 2.0], [3.0, -2.0], [4.0, 5.0]])
+    expected = np.array(
+        [
+            [1.25, 6.516875],
+            [0.3125, -3.7889063],
+            [-0.375, 1.4721875],
+            [-0.5625, -0.94171875],
+        ]
+    )
+    np.testing.assert_allclose(np.asarray(S.autocov_bf(data)), expected, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(S.autocov_fft(data)), expected, atol=1e-4)
+
+
+def test_autocov_bf_vs_fft_random():
+    # FFT and brute force agree on random inputs of several lengths.
+    for n in [5, 17, 64, 130]:
+        x = jax.random.normal(jax.random.PRNGKey(n), (n, 3), jnp.float32)
+        bf = np.asarray(S.autocov_bf(x))
+        fft = np.asarray(S.autocov_fft(x))
+        np.testing.assert_allclose(bf, fft, atol=1e-4)
+
+
+def test_ess_iid_uniforms_sanity():
+    # /root/reference/src/stats.rs:810-834: 4 chains x 1000 iid uniforms:
+    # ESS.min > 3800, rhat.max < 1.01.
+    key = jax.random.PRNGKey(42)
+    data = jax.random.uniform(key, (4, 1000, 1), jnp.float32)
+    rs = S.run_stats(data)
+    assert rs.ess.min > 3800.0, rs.ess
+    assert rs.rhat.max < 1.01, rs.rhat
+
+
+def test_split_rhat_detects_nonconvergence():
+    # Two chains at different levels: split R-hat far from 1, ESS tiny.
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (1, 500, 1)) + 10.0
+    b = jax.random.normal(jax.random.fold_in(key, 1), (1, 500, 1)) - 10.0
+    sample = jnp.concatenate([a, b], axis=0)
+    rhat, ess = S.split_rhat_mean_ess(sample)
+    # reference's split-rhat is sqrt(W/var) which goes to ~0 on divergence
+    assert float(rhat[0]) < 0.5
+    assert float(ess[0]) < 50.0
+
+
+def test_tracker_streaming_moments_match_batch():
+    key = jax.random.PRNGKey(7)
+    data = jax.random.normal(key, (20, 3, 2), jnp.float32)  # [steps, C, P]
+    t = S.tracker_init(3, 2)
+    for i in range(20):
+        t = S.tracker_update(t, data[i])
+    cs = S.tracker_stats(t)
+    np.testing.assert_allclose(
+        np.asarray(cs.mean), np.asarray(jnp.mean(data, axis=0)), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(cs.sm2),
+        np.asarray(jnp.var(data, axis=0, ddof=1)),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_tracker_p_accept_ewma():
+    # All-change steps push p_accept towards 1 with alpha=0.01 per chain-row
+    # update (stats.rs:13, :250-255).
+    t = S.tracker_init(2, 1)
+    x = jnp.zeros((2, 1))
+    expected = 0.0
+    for i in range(50):
+        x = x + 1.0
+        t = S.tracker_update(t, x)
+        for _ in range(2):
+            expected = (1 - S.ALPHA) * expected + S.ALPHA * 1.0
+    assert np.isclose(float(t.p_accept), expected, atol=1e-6)
+
+
+def test_collect_rhat_live():
+    # Live collect_rhat runs and produces finite positive values.
+    means = jnp.array([[0.1, 0.2], [0.0, 0.3], [0.15, 0.1]])
+    sm2s = jnp.array([[1.0, 1.1], [0.9, 1.0], [1.05, 0.95]])
+    ns = jnp.array([100, 100, 100])
+    r = np.asarray(S.collect_rhat(means, sm2s, ns))
+    assert r.shape == (2,)
+    assert np.all(np.isfinite(r)) and np.all(r > 0)
+
+
+def test_basic_stats_median_convention():
+    # Descending sort, element at index len/2 (stats.rs:310-336).
+    bs = S.basic_stats("x", jnp.array([1.0, 2.0, 3.0, 4.0]))
+    assert bs.min == 1.0 and bs.max == 4.0
+    assert bs.median == 2.0  # descending [4,3,2,1], index 2
+    assert np.isclose(bs.mean, 2.5)
+    assert np.isclose(bs.std, np.std([1, 2, 3, 4], ddof=1))
+
+
+def test_run_stats_display():
+    data = jax.random.uniform(jax.random.PRNGKey(3), (4, 200, 2))
+    rs = S.run_stats(data)
+    text = str(rs)
+    assert "ESS" in text and "Split R-hat" in text
