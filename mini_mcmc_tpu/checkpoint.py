@@ -62,11 +62,22 @@ def save_sampler(path: str, sampler) -> None:
 
 def restore_sampler(path: str, sampler):
     """Restore state + key into an existing wrapper sampler (constructed
-    with the same configuration). Returns the sampler."""
+    with the same configuration). Returns the sampler.
+
+    Raises ``ValueError`` when the checkpointed shapes don't match the
+    sampler's (different n_chains/dim/algorithm)."""
     state, key = load_checkpoint(path)
-    sampler.state = jax.tree_util.tree_map(
-        lambda ref, new: jnp.asarray(new, ref.dtype), sampler.state, state
-    )
+
+    def check_and_cast(ref, new):
+        if getattr(ref, "shape", ()) != getattr(new, "shape", ()):
+            raise ValueError(
+                f"checkpoint shape {new.shape} does not match sampler "
+                f"state shape {ref.shape}; was the sampler constructed "
+                "with the same configuration?"
+            )
+        return jnp.asarray(new, ref.dtype)
+
+    sampler.state = jax.tree_util.tree_map(check_and_cast, sampler.state, state)
     if key is not None:
         sampler._key = key
     return sampler

@@ -1,0 +1,47 @@
+"""Arrow IPC export.
+
+Schema parity with /root/reference/src/io/arrow.rs:53-117: columns
+``chain`` (uint32), ``observation`` (uint32), ``dim_*`` (float64); handles
+empty input by writing an empty record batch with the full schema.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import pyarrow as pa
+    import pyarrow.ipc
+
+    _HAVE_PYARROW = True
+except Exception:  # pragma: no cover - environment without pyarrow
+    _HAVE_PYARROW = False
+
+
+def _cube_to_table(arr: np.ndarray):
+    n_chains, n_obs, n_dims = arr.shape
+    chain_idx = np.repeat(np.arange(n_chains, dtype=np.uint32), n_obs)
+    obs_idx = np.tile(np.arange(n_obs, dtype=np.uint32), n_chains)
+    flat = arr.reshape(n_chains * n_obs, n_dims).astype(np.float64)
+    fields = [
+        pa.field("chain", pa.uint32(), nullable=False),
+        pa.field("observation", pa.uint32(), nullable=False),
+    ] + [pa.field(f"dim_{i}", pa.float64(), nullable=False) for i in range(n_dims)]
+    schema = pa.schema(fields)
+    arrays = [pa.array(chain_idx), pa.array(obs_idx)] + [
+        pa.array(flat[:, i]) for i in range(n_dims)
+    ]
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def save_arrow(data, filename: str) -> None:
+    """Save a ``[n_chains, n_obs, n_dims]`` cube as an Arrow IPC file."""
+    if not _HAVE_PYARROW:
+        raise RuntimeError("pyarrow is not available; Arrow export disabled")
+    arr = np.asarray(data)
+    if arr.ndim != 3:
+        raise ValueError(f"expected [chains, observations, dims], got {arr.shape}")
+    table = _cube_to_table(arr)
+    with pa.OSFile(filename, "wb") as sink:
+        with pa.ipc.new_file(sink, table.schema) as writer:
+            writer.write_table(table)

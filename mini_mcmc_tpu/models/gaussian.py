@@ -31,14 +31,14 @@ def gaussian2d(mean, cov) -> Target:
     inv_cov = jnp.array([[d, -b], [-c, a]]) / det
 
     def unnorm_logp(x):
-        diff = x - mean
-        return -0.5 * diff @ inv_cov @ diff
+        diff = x - mean.astype(x.dtype)
+        return -0.5 * diff @ inv_cov.astype(x.dtype) @ diff
 
     def logp_normalized(x):
-        term_1 = -jnp.log(2.0 * math.pi)
-        term_2 = -0.5 * jnp.log(jnp.abs(det))
-        diff = x - mean
-        return term_1 + term_2 - 0.5 * diff @ inv_cov @ diff
+        term_1 = -jnp.log(jnp.asarray(2.0 * math.pi, x.dtype))
+        term_2 = -0.5 * jnp.log(jnp.abs(det)).astype(x.dtype)
+        diff = x - mean.astype(x.dtype)
+        return term_1 + term_2 - 0.5 * diff @ inv_cov.astype(x.dtype) @ diff
 
     return Target(logp=unnorm_logp, logp_normalized=logp_normalized)
 
@@ -62,18 +62,18 @@ def diffable_gaussian2d(mean, cov) -> Target:
     norm_const = -(2.0 * jnp.log(2.0 * math.pi) + logdet) / 2.0
 
     def logp(x):
-        diff = x - mean
-        return norm_const - 0.5 * diff @ inv_cov @ diff
+        diff = x - mean.astype(x.dtype)
+        return norm_const.astype(x.dtype) - 0.5 * diff @ inv_cov.astype(x.dtype) @ diff
 
     def logp_batch(positions):
-        delta = positions - mean[None, :]
-        z = delta @ inv_cov
+        delta = positions - mean.astype(positions.dtype)[None, :]
+        z = delta @ inv_cov.astype(positions.dtype)
         quad = jnp.sum(z * delta, axis=-1)
-        return norm_const - 0.5 * quad
+        return norm_const.astype(positions.dtype) - 0.5 * quad
 
     def grad(x):
         # d/dx [-(1/2)(x-m)^T S^-1 (x-m)] = -S^-1 (x-m) (inv_cov symmetric)
-        return -inv_cov @ (x - mean)
+        return -inv_cov.astype(x.dtype) @ (x - mean.astype(x.dtype))
 
     return Target(logp=logp, logp_batch=logp_batch, grad=grad,
                   logp_normalized=logp)

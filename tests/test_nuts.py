@@ -1,0 +1,135 @@
+"""NUTS tests.
+
+Mirrors the reference's NUTS test suite (/root/reference/src/nuts.rs:998-1230):
+``find_reasonable_epsilon == 2.0`` for a standard normal at the reference's
+fixture point, the depth-3 ``build_tree`` golden boundaries (which are
+RNG-free because every leaf fails the slice check, so the proposal swap
+probabilities are all zero), and statistical moment checks. Golden chain
+trajectories are pinned for *our* PRNG (the reference's SmallRng streams are
+not reproducible across frameworks by design — SURVEY.md section 7 hard part
+c).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mini_mcmc_tpu import NUTS, init_det, run_stats
+from mini_mcmc_tpu.models import (
+    diffable_gaussian2d,
+    rosenbrock2d,
+    standard_normal,
+)
+from mini_mcmc_tpu.ops.nuts import (
+    _build_subtree,
+    find_reasonable_epsilon,
+    nuts_kernel,
+)
+
+
+def test_find_reasonable_epsilon_golden():
+    # /root/reference/src/nuts.rs:1050-1055: standard normal,
+    # position [0, 1], momentum [1, 0] => exactly 2.0.
+    target = standard_normal()
+    position = jnp.array([0.0, 1.0], jnp.float64)
+    mom = jnp.array([1.0, 0.0], jnp.float64)
+    eps = find_reasonable_epsilon(target, position, mom)
+    assert float(eps) == 2.0
+
+
+def test_build_tree_golden_deterministic():
+    # /root/reference/src/nuts.rs:1057-1121: depth 3, v = -1, all 8 leaves
+    # fail the slice check (n' = 0), so boundaries, counts and alpha are
+    # deterministic. The reference's 13-tuple maps onto our _TreeResult:
+    # position_minus = chronological end (v = -1), position_plus =
+    # chronological first leaf; with all n = 0 the proposal stays the first
+    # leaf => prop == plus.
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    position = jnp.array([0.0, 1.0], jnp.float64)
+    mom = jnp.array([2.0, 3.0], jnp.float64)
+    grad = jnp.array([4.0, 5.0], jnp.float64)
+    res = _build_subtree(
+        target,
+        10,
+        position,
+        mom,
+        grad,
+        jnp.float64(-2.0),  # logu
+        jnp.int32(-1),  # v
+        jnp.int32(3),  # j
+        jnp.float64(0.01),  # epsilon
+        jnp.float64(0.1),  # joint_0
+        jax.random.PRNGKey(0),
+    )
+    # chronological end == reference position_minus / mom_minus / grad_minus
+    np.testing.assert_allclose(
+        np.asarray(res.end_pos), [-0.1584001, 0.76208336], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.end_mom), [1.9800036, 2.9718253], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.end_grad), [-7.91236e-5, 7.9358295e-2], rtol=1e-4, atol=1e-6
+    )
+    # proposal == chronological first leaf == reference position_plus
+    np.testing.assert_allclose(
+        np.asarray(res.prop_pos), [-0.0198, 0.97025], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.prop_grad), [-1.250e-05, 9.925e-03], rtol=1e-4, atol=1e-7
+    )
+    assert int(res.n) == 0
+    assert bool(res.s)
+    assert int(res.n_alpha) == 8
+    assert abs(float(res.prop_logp) - (-2.8777454)) < 1e-6
+    assert abs(float(res.alpha) - 0.0006866617) < 1e-8
+
+
+def test_nuts_run_shapes_and_initial_row():
+    # With n_discard == 0, row 0 is the initial position (nuts.rs:533-534,
+    # test_chain_1 nuts.rs:1138-1152).
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    init = jnp.array([[0.0, 1.0]])
+    sampler = NUTS(target, init, 0.8).seed(42)
+    sample = sampler.run(1, 0)
+    assert sample.shape == (1, 1, 2)
+    np.testing.assert_allclose(np.asarray(sample[0, 0]), [0.0, 1.0], atol=1e-7)
+
+
+def test_nuts_determinism():
+    target = rosenbrock2d(1.0, 100.0)
+    a = NUTS(target, init_det(2, 2), 0.8).seed(3).run(20, 10)
+    b = NUTS(target, init_det(2, 2), 0.8).seed(3).run(20, 10)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nuts_gaussian_moments():
+    # Correlated Gaussian: sampled moments approach the target.
+    mean = np.array([1.0, 2.0])
+    cov = np.array([[1.0, 0.5], [0.5, 2.0]])
+    target = diffable_gaussian2d(mean, cov)
+    sampler = NUTS(target, init_det(4, 2), 0.8).seed(42)
+    sample = sampler.run(1500, 500)
+    flat = np.asarray(sample).reshape(-1, 2)
+    assert np.all(np.abs(flat.mean(axis=0) - mean) < 0.25), flat.mean(axis=0)
+    assert np.max(np.abs(np.cov(flat.T) - cov)) < 0.5, np.cov(flat.T)
+
+
+def test_nuts_adaptation_reaches_target_accept():
+    # Dual averaging should adapt epsilon to something sane (finite,
+    # positive, not the sentinel).
+    target = standard_normal()
+    sampler = NUTS(target, init_det(4, 2), 0.8).seed(1)
+    sampler.run(200, 200)
+    eps = np.asarray(sampler.state.epsilon)
+    assert np.all(np.isfinite(eps)) and np.all(eps > 0.0)
+    assert np.all(eps < 100.0)
+
+
+def test_nuts_rhat_band():
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    sampler = NUTS(target, init_det(3, 2), 0.8).seed(5)
+    sample = sampler.run(800, 300)
+    rs = run_stats(sample)
+    assert 0.9 <= rs.rhat.mean <= 1.1, rs.rhat
+    assert rs.ess.min > 100.0, rs.ess

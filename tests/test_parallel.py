@@ -1,0 +1,79 @@
+"""Multi-chip chain sharding tests on the 8-device virtual CPU mesh.
+
+The reference's thread-parallel chains (Rayon, /root/reference/src/core.rs:178)
+map to chains sharded over a 1-D device mesh; sharded runs must produce
+bit-identical results to single-device runs (pure data parallelism, no
+cross-chain communication during sampling), and diagnostics reduce across
+the mesh transparently.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_mcmc_tpu import HMC, MetropolisHastings, init_det, run_stats
+from mini_mcmc_tpu.models import (
+    gaussian2d,
+    isotropic_gaussian_proposal,
+    rosenbrock_nd,
+)
+from mini_mcmc_tpu.parallel import chain_mesh, shard_chains, shard_sampler_state
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_hmc_matches_unsharded():
+    # Bit-exactness across sharding layouts is not an XLA guarantee (fusion
+    # differs per partitioning), and a single flipped accept decision
+    # diverges trajectories. Check (a) the deterministic logp/grad state
+    # initialization matches to float tolerance and (b) full sharded runs
+    # are statistically equivalent.
+    target = rosenbrock_nd()
+    hmc = HMC(target, init_det(2048, 3), 0.02, 5).seed(4)
+    hmc2 = HMC(target, init_det(2048, 3), 0.02, 5).seed(4)
+    mesh = chain_mesh()
+    hmc2.state = shard_sampler_state(mesh, hmc2.state)
+    np.testing.assert_allclose(
+        np.asarray(hmc.state.logp), np.asarray(hmc2.state.logp), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(hmc.state.grad), np.asarray(hmc2.state.grad), rtol=1e-6
+    )
+
+    a = np.asarray(hmc.run(100, 50)).reshape(-1, 3)
+    b = np.asarray(hmc2.run(100, 50)).reshape(-1, 3)
+    np.testing.assert_allclose(a.mean(axis=0), b.mean(axis=0), atol=0.08)
+    np.testing.assert_allclose(a.std(axis=0), b.std(axis=0), atol=0.12)
+
+
+def test_sharded_run_output_is_sharded():
+    target = rosenbrock_nd()
+    hmc = HMC(target, init_det(16, 3), 0.03, 5).seed(4)
+    mesh = chain_mesh()
+    hmc.state = shard_sampler_state(mesh, hmc.state)
+    sample = hmc.run(10, 0)
+    # output keeps the chains axis sharded over the mesh
+    shard_devices = {s.device for s in sample.addressable_shards}
+    assert len(shard_devices) == 8
+
+
+def test_sharded_mh_and_diagnostics():
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    proposal = isotropic_gaussian_proposal(1.0)
+    mh = MetropolisHastings(target, proposal, init_det(64, 2)).seed(0)
+    mesh = chain_mesh()
+    mh.state = shard_sampler_state(mesh, mh.state)
+    sample = mh.run(500, 100)
+    rs = run_stats(sample)  # cross-chain reduction over the sharded axis
+    assert rs.ess.min > 0
+    assert 0.8 < rs.rhat.mean < 1.2
+
+
+def test_shard_chains_layout():
+    mesh = chain_mesh()
+    x = jnp.zeros((32, 4))
+    xs = shard_chains(mesh, x)
+    assert xs.sharding.shard_shape(xs.shape) == (4, 4)
