@@ -1,0 +1,35 @@
+"""Examples double as smoke tests — the analog of each reference example's
+``test_main`` (/root/reference/examples/*.rs)."""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+_EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
+
+
+def _run_example(name):
+    path = os.path.join(_EXAMPLES_DIR, name + ".py")
+    spec = importlib.util.spec_from_file_location(f"examples.{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "minimal_mh",
+        "gauss_mh",
+        "rosenbrock_mh",
+        "poisson_mh",
+        "minimal_hmc",
+        "rosenbrock3d_hmc",
+        "minimal_nuts",
+        "mixture_gibbs",
+    ],
+)
+def test_example(name):
+    _run_example(name)
