@@ -45,10 +45,14 @@ def _sync(x):
 
 
 def main():
+    from mini_mcmc_tpu.ops.pallas import pallas_available
+
+    use_pallas = pallas_available()
     target = rosenbrock_nd()
     # Start near the mode plateau for fast equilibration.
     init = init_with_seed(N_CHAINS, DIM, seed=42) * 0.5 + 1.0
-    hmc = HMC(target, init, STEP_SIZE, N_LEAPFROG).seed(42)
+    hmc = HMC(target, init, STEP_SIZE, N_LEAPFROG,
+              use_pallas=use_pallas).seed(42)
 
     # Burn-in (also compiles the discard variant).
     _sync(hmc.run(4, N_DISCARD))
@@ -83,6 +87,7 @@ def main():
             "ess_min_per_sec": ess_min / elapsed,
             "rhat_mean": float(jnp.mean(rhat)),
             "backend": jax.default_backend(),
+            "fused_pallas_leapfrog": use_pallas,
         },
     }
     print(json.dumps(result))

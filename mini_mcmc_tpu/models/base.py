@@ -45,6 +45,10 @@ class Target:
     logp_batch: Optional[Callable] = None
     grad: Optional[Callable] = None
     logp_normalized: Optional[Callable] = None
+    #: optional chains-on-lanes forms for Pallas kernels: ``[D, C] -> [C]``
+    #: log density and ``[D, C] -> [D, C]`` gradient (jnp ops only).
+    logp_dc: Optional[Callable] = None
+    grad_dc: Optional[Callable] = None
 
     def batch_logp(self, positions: jax.Array) -> jax.Array:
         """Log density for a ``[C, D]`` batch of positions -> ``[C]``."""

@@ -66,4 +66,26 @@ def rosenbrock_nd() -> Target:
         g = g.at[1:].add(-200.0 * d)
         return g
 
-    return Target(logp=logp, logp_batch=logp_batch, grad=grad)
+    def logp_dc(pos_dc):
+        # chains-on-lanes layout [D, C] -> [C] (for Pallas kernels)
+        low = pos_dc[:-1]
+        high = pos_dc[1:]
+        term_1 = 100.0 * (high - low * low) ** 2
+        term_2 = (1.0 - low) ** 2
+        return -jnp.sum(term_1 + term_2, axis=0)
+
+    def grad_dc(pos_dc):
+        # concat-based (no scatter: Pallas TPU has no scatter-add lowering)
+        low = pos_dc[:-1]
+        high = pos_dc[1:]
+        d = high - low * low
+        zero = jnp.zeros_like(pos_dc[:1])
+        low_contrib = 400.0 * d * low + 2.0 * (1.0 - low)
+        high_contrib = -200.0 * d
+        return (
+            jnp.concatenate([low_contrib, zero], axis=0)
+            + jnp.concatenate([zero, high_contrib], axis=0)
+        )
+
+    return Target(logp=logp, logp_batch=logp_batch, grad=grad,
+                  logp_dc=logp_dc, grad_dc=grad_dc)

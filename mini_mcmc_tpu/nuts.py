@@ -56,7 +56,9 @@ class NUTS:
         init_fn, prepare_fn, step_fn = nuts_kernel(
             target, target_accept_p, max_depth
         )
-        self.state: NUTSState = init_fn(jnp.asarray(initial_positions))
+        # Copy: run() donates state buffers; don't invalidate the caller's
+        # (possibly shared) initial-positions array.
+        self.state: NUTSState = init_fn(jnp.array(initial_positions, copy=True))
         self._prepare_fn = jax.jit(prepare_fn, static_argnames=("n_discard",))
         self._step_fn = step_fn
         self._key = _fresh_key(seed)

@@ -33,12 +33,44 @@ class HMCState(NamedTuple):
     grad: jax.Array  # [C, D] cached gradient at positions
 
 
-def hmc_kernel(target: Target, step_size: float, n_leapfrog: int):
+def hmc_kernel(
+    target: Target,
+    step_size: float,
+    n_leapfrog: int,
+    unroll: int | bool = 8,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
+):
     """Build ``(init_fn, step_fn)`` for batched HMC.
 
     ``init_fn(positions [C, D]) -> HMCState``
     ``step_fn(state, key) -> HMCState``
+
+    ``unroll`` controls leapfrog-scan unrolling: per-iteration loop overhead
+    dominates the (tiny, VPU-bound) integrator body on TPU, so unrolling
+    several leapfrog steps into one loop body is a large win.
+
+    ``use_pallas`` swaps the XLA leapfrog scan for the fused Pallas
+    trajectory kernel (``ops/pallas/hmc.py``) — requires the target to carry
+    ``logp_dc``/``grad_dc`` chains-on-lanes forms. Momentum/accept draws stay
+    in the standard path, so the algorithm (and its PRNG stream) is
+    unchanged; only the integrator implementation differs.
     """
+    pallas_traj = None
+    if use_pallas:
+        if target.logp_dc is None or target.grad_dc is None:
+            raise ValueError(
+                "use_pallas=True requires target.logp_dc and target.grad_dc"
+            )
+        from .pallas.hmc import make_pallas_leapfrog
+
+        pallas_traj = make_pallas_leapfrog(
+            target.grad_dc,
+            target.logp_dc,
+            step_size,
+            n_leapfrog,
+            interpret=pallas_interpret,
+        )
 
     def init_fn(positions: jax.Array) -> HMCState:
         logp, grad = target.batch_logp_and_grad(positions)
@@ -58,7 +90,11 @@ def hmc_kernel(target: Target, step_size: float, n_leapfrog: int):
             return (pos, mom, logp, grad), None
 
         (pos, mom, logp, grad), _ = lax.scan(
-            body, (pos, mom, logp, grad), None, length=n_leapfrog
+            body,
+            (pos, mom, logp, grad),
+            None,
+            length=n_leapfrog,
+            unroll=min(unroll, n_leapfrog) if unroll else 1,
         )
         return pos, mom, logp, grad
 
@@ -72,9 +108,14 @@ def hmc_kernel(target: Target, step_size: float, n_leapfrog: int):
         ke_current = 0.5 * jnp.sum(mom0 * mom0, axis=1)
         h_current = -state.logp + ke_current
 
-        pos_prop, mom_prop, logp_prop, grad_prop = leapfrog(
-            state.positions, mom0, state.logp, state.grad
-        )
+        if pallas_traj is not None:
+            pos_prop, mom_prop, logp_prop, grad_prop = pallas_traj(
+                state.positions, mom0, state.grad
+            )
+        else:
+            pos_prop, mom_prop, logp_prop, grad_prop = leapfrog(
+                state.positions, mom0, state.logp, state.grad
+            )
         ke_proposed = 0.5 * jnp.sum(mom_prop * mom_prop, axis=1)
         h_proposed = -logp_prop + ke_proposed
 

@@ -47,7 +47,9 @@ class _KernelSampler:
     _record_initial = False
 
     def __init__(self, init_fn, step_fn, initial_positions, seed=None):
-        self.state = init_fn(jnp.asarray(initial_positions))
+        # Copy: run() donates the state buffers to XLA; the caller's array
+        # must not be invalidated (and may be shared across samplers).
+        self.state = init_fn(jnp.array(initial_positions, copy=True))
         self._step_fn = step_fn
         self._key = _fresh_key(seed)
         self._runner = make_simple_runner(
@@ -135,11 +137,15 @@ class HMC(_KernelSampler):
     """
 
     def __init__(self, target: Target, initial_positions, step_size: float,
-                 n_leapfrog: int, seed: Optional[int] = None):
+                 n_leapfrog: int, seed: Optional[int] = None,
+                 unroll: int = 8, use_pallas: bool = False,
+                 pallas_interpret: bool = False):
         self.target = target
         self.step_size = step_size
         self.n_leapfrog = n_leapfrog
-        init_fn, step_fn = hmc_kernel(target, step_size, n_leapfrog)
+        init_fn, step_fn = hmc_kernel(target, step_size, n_leapfrog,
+                                      unroll=unroll, use_pallas=use_pallas,
+                                      pallas_interpret=pallas_interpret)
         super().__init__(init_fn, step_fn, initial_positions, seed)
 
 
