@@ -1,0 +1,74 @@
+"""Cross-validation: native C++ oracle vs the XLA diagnostics.
+
+The framework-independent C++ implementation (native/mcmc_native.cpp) must
+agree with mini_mcmc_tpu.stats on the same inputs — the whole-pipeline
+analog of the reference's FFT-vs-bruteforce cross-checks
+(/root/reference/src/stats.rs:777-808).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_mcmc_tpu import native
+from mini_mcmc_tpu import stats as S
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native toolchain unavailable"
+)
+
+
+def test_native_autocov_matches_jax():
+    x = np.random.default_rng(0).normal(size=(64, 5)).astype(np.float32)
+    got = native.autocov_bf(x)
+    want = np.asarray(S.autocov_bf(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_native_autocov_golden():
+    data = np.array([[1.0], [2.0], [3.0], [4.0]], np.float32)
+    expected = np.array([[1.25], [0.3125], [-0.375], [-0.5625]], np.float32)
+    np.testing.assert_allclose(native.autocov_bf(data), expected, atol=1e-6)
+
+
+def test_native_geyer_tau_matches_jax():
+    rng = np.random.default_rng(1)
+    # decaying positive-then-negative rho columns
+    n, p = 40, 4
+    lags = np.arange(n)[:, None]
+    rho = (0.8 ** lags) * rng.uniform(0.5, 1.5, (1, p)) - 0.01 * lags
+    rho = rho.astype(np.float32)
+    got = native.geyer_tau(rho)
+    want = np.asarray(S._geyer_tau(jnp.asarray(rho)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_native_full_pipeline_matches_jax():
+    rng = np.random.default_rng(2)
+    # AR(1)-ish chains so the ESS is non-trivial
+    c, n, p = 4, 120, 3
+    x = np.empty((c, n, p), np.float32)
+    eps = rng.normal(size=(c, n, p))
+    x[:, 0] = eps[:, 0]
+    for t in range(1, n):
+        x[:, t] = 0.7 * x[:, t - 1] + eps[:, t]
+    rhat_n, ess_n = native.split_rhat_ess(x)
+    rhat_j, ess_j = S.split_rhat_mean_ess(jnp.asarray(x))
+    np.testing.assert_allclose(rhat_n, np.asarray(rhat_j), rtol=1e-4)
+    np.testing.assert_allclose(ess_n, np.asarray(ess_j), rtol=2e-3)
+
+
+def test_native_pipeline_on_real_sampler_output():
+    from mini_mcmc_tpu import MetropolisHastings, init_det
+    from mini_mcmc_tpu.models import gaussian2d, isotropic_gaussian_proposal
+
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    mh = MetropolisHastings(
+        target, isotropic_gaussian_proposal(1.0), init_det(4, 2)
+    ).seed(42)
+    sample = np.asarray(mh.run(400, 100))
+    rhat_n, ess_n = native.split_rhat_ess(sample)
+    rhat_j, ess_j = S.split_rhat_mean_ess(jnp.asarray(sample))
+    np.testing.assert_allclose(rhat_n, np.asarray(rhat_j), rtol=1e-3)
+    np.testing.assert_allclose(ess_n, np.asarray(ess_j), rtol=5e-3)
