@@ -33,16 +33,17 @@ _REFRESH_SECONDS = 0.25
 _TARGET_CHUNKS = 20
 
 
-def _render(done: int, total: int, p_accept: float, max_rhat: float,
-            elapsed: float, stream) -> None:
+def _render(done: int, total: int, p_accept: float, chain_spread,
+            max_rhat: float, elapsed: float, stream) -> None:
     width = 30
     frac = done / max(total, 1)
     filled = int(width * frac)
     bar = "#" * filled + "-" * (width - filled)
+    lo, hi = chain_spread
     stream.write(
         f"\r[{bar}] {done}/{total} steps "
-        f"p(accept)={p_accept:.3f} max(rhat)={max_rhat:.3f} "
-        f"{elapsed:.1f}s"
+        f"p(accept)={p_accept:.3f} (chains {lo:.2f}..{hi:.2f}) "
+        f"max(rhat)={max_rhat:.3f} {elapsed:.1f}s"
     )
     stream.flush()
 
@@ -91,8 +92,11 @@ def progress_run(
         now = time.monotonic()
         if now - last_render >= _REFRESH_SECONDS or done >= total:
             p_accept = float(tracker.p_accept)
+            pc = tracker.p_accept_chains
+            spread = (float(jnp.min(pc)), float(jnp.max(pc)))
             max_rhat = float(stats_mod.tracker_max_rhat(tracker))
-            _render(done, total, p_accept, max_rhat, now - start, stream)
+            _render(done, total, p_accept, spread, max_rhat, now - start,
+                    stream)
             last_render = now
 
     stream.write("\n")

@@ -47,7 +47,10 @@ class TrackerState(NamedTuple):
     """Running moments for all chains: ``MultiChainTracker`` as a pytree.
 
     Fields mirror /root/reference/src/stats.rs:189-197 with shapes
-    ``[n_chains, n_params]``.
+    ``[n_chains, n_params]``, plus a per-chain acceptance EWMA giving the
+    per-chain ``ChainTracker`` surface (stats.rs:26-141) in the same
+    batched state (the lockstep analog of the reference's per-chain
+    progress bars).
     """
 
     n: jax.Array  # scalar int32, number of steps seen
@@ -55,6 +58,9 @@ class TrackerState(NamedTuple):
     last_state: jax.Array  # [C, P] f32
     mean: jax.Array  # [C, P] f32
     mean_sq: jax.Array  # [C, P] f32
+    #: [C] per-chain EWMA acceptance; -1 sentinel before the first step
+    #: (ChainTracker semantics, stats.rs:110-116)
+    p_accept_chains: jax.Array
 
 
 def tracker_init(n_chains: int, n_params: int, initial_state=None) -> TrackerState:
@@ -72,6 +78,7 @@ def tracker_init(n_chains: int, n_params: int, initial_state=None) -> TrackerSta
         last_state=last,
         mean=jnp.zeros(shape, jnp.float32),
         mean_sq=jnp.zeros(shape, jnp.float32),
+        p_accept_chains=jnp.full((n_chains,), -1.0, jnp.float32),
     )
 
 
@@ -96,9 +103,19 @@ def tracker_update(t: TrackerState, x: jax.Array) -> TrackerState:
     p_accept = t.p_accept * (1.0 - ALPHA) ** n_chains + ALPHA * jnp.sum(
         decay * accepted
     )
+    # per-chain EWMA with the ChainTracker first-step convention
+    # (stats.rs:110-123): start from the first accept indicator.
+    fresh = t.p_accept_chains < 0.0
+    base = jnp.where(fresh, accepted, t.p_accept_chains)
+    p_accept_chains = (1.0 - ALPHA) * base + ALPHA * accepted
 
     return TrackerState(
-        n=t.n + 1, p_accept=p_accept, last_state=x, mean=mean, mean_sq=mean_sq
+        n=t.n + 1,
+        p_accept=p_accept,
+        last_state=x,
+        mean=mean,
+        mean_sq=mean_sq,
+        p_accept_chains=p_accept_chains,
     )
 
 
@@ -135,6 +152,40 @@ def tracker_rhat(t: TrackerState) -> jax.Array:
 
 def tracker_max_rhat(t: TrackerState) -> jax.Array:
     return jnp.max(tracker_rhat(t))
+
+
+class ChainTracker:
+    """Single-chain streaming tracker: the per-chain ``ChainTracker``
+    surface (stats.rs:26-141) as a thin stateful wrapper over the batched
+    :class:`TrackerState` with ``n_chains == 1``.
+
+    Example:
+        >>> t = ChainTracker(2, [0.0, 0.0])
+        >>> t.step([1.0, 2.0])
+        >>> cs = t.stats()  # ChainStats(n, p_accept, mean, sm2)
+    """
+
+    def __init__(self, n_params: int, initial_state=None):
+        init = (
+            None
+            if initial_state is None
+            else jnp.asarray(initial_state, jnp.float32)[None, :]
+        )
+        self._state = tracker_init(1, n_params, init)
+
+    def step(self, x) -> None:
+        self._state = tracker_update(
+            self._state, jnp.asarray(x, jnp.float32)[None, :]
+        )
+
+    def stats(self) -> ChainStats:
+        cs = tracker_stats(self._state)
+        return ChainStats(
+            n=cs.n,
+            p_accept=self._state.p_accept_chains[0],
+            mean=cs.mean[0],
+            sm2=cs.sm2[0],
+        )
 
 
 def collect_rhat(means: jax.Array, sm2s: jax.Array, ns: jax.Array) -> jax.Array:

@@ -1,0 +1,48 @@
+"""Profiling helpers.
+
+The reference's tracing surface is the wall-clock ``Timer``
+(/root/reference/src/dev_tools.rs); the TPU-native equivalents are XLA
+profiler traces (tensorboard-compatible) plus step timers that understand
+async dispatch.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/mini_mcmc_tpu_trace"):
+    """Capture a ``jax.profiler`` trace around a block.
+
+    View with TensorBoard (or xprof) pointed at ``log_dir``.
+
+        with profiling.trace("/tmp/trace"):
+            sampler.run(1000, 100)
+    """
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def step_timer(fn, *args, repeats: int = 3, **kwargs):
+    """Median wall-clock of ``fn(*args, **kwargs)`` with full completion
+    forced (async/remote dispatch safe). Returns ``(result, seconds)``."""
+    times = []
+    result = None
+    for _ in range(repeats):
+        t0 = time.monotonic()
+        result = fn(*args, **kwargs)
+        result = jax.block_until_ready(result)
+        # scalar fetch defeats early-returning block_until_ready on
+        # tunneled backends
+        leaf = jax.tree_util.tree_leaves(result)[0]
+        _ = float(leaf.ravel()[-1])
+        times.append(time.monotonic() - t0)
+    times.sort()
+    return result, times[len(times) // 2]
