@@ -33,7 +33,7 @@ DIM = 3
 STEP_SIZE = 0.015
 N_LEAPFROG = 96
 N_COLLECT = 8192
-N_DISCARD = 4000
+N_DISCARD = 0  # burn-in happens via a first (discarded) collect run
 BASELINE_ESS_PER_SEC = 1.0e6
 
 
@@ -54,9 +54,9 @@ def main():
     hmc = HMC(target, init, STEP_SIZE, N_LEAPFROG,
               use_pallas=use_pallas).seed(42)
 
-    # Burn-in (also compiles the discard variant).
-    _sync(hmc.run(4, N_DISCARD))
-    # Compile the timed collect variant.
+    # Burn-in with the SAME (n_collect, n_discard) signature as the timed
+    # run: exactly one program is compiled (remote compiles dominate wall
+    # time on tunneled backends). The first call's output is the burn-in.
     _sync(hmc.run(N_COLLECT, 0))
 
     # Timed region: steady-state sampling only, one compiled dispatch.

@@ -51,6 +51,7 @@ def make_pallas_leapfrog(
     *,
     block_c: int = 8192,
     interpret: bool = False,
+    packed: bool = True,
 ):
     """Build a fused trajectory function.
 
@@ -62,6 +63,13 @@ def make_pallas_leapfrog(
         n_leapfrog: number of leapfrog steps fused into the kernel.
         block_c: chains per kernel block (grid tiles the chain axis).
         interpret: run in the Pallas interpreter (CPU testing).
+
+        packed: reshape the chain axis to ``[D, 8, C/8]`` so small-D state
+            fills all 8 VPU sublanes instead of D of them (a ~8/D-fold cut
+            in vector instructions for D < 8). Requires ``C % 1024 == 0``
+            and axis-0-only semantics in ``grad_dc``/``logp_dc`` (leading
+            -axis slicing/concat/sum work unchanged on the packed shape);
+            falls back to the flat layout otherwise.
 
     Returns:
         ``traj(pos [C, D], mom [C, D], grad [C, D]) ->
@@ -91,7 +99,7 @@ def make_pallas_leapfrog(
         pos_out[:] = pos
         mom_out[:] = mom
         grad_out[:] = grad
-        logp_out[0, :] = logp_dc(pos)
+        logp_out[:] = logp_dc(pos)[None] if pos.ndim == 2 else logp_dc(pos)
 
     @functools.partial(jax.jit, static_argnames=())
     def traj(pos_cd, mom_cd, grad_cd):
@@ -101,27 +109,54 @@ def make_pallas_leapfrog(
         if c % bc:
             raise ValueError(f"n_chains={c} must be divisible by block_c={bc}")
         grid = (c // bc,)
-
-        dc_spec = pl.BlockSpec((d, bc), lambda i: (0, i))
-        c_spec = pl.BlockSpec((1, bc), lambda i: (0, i))
+        use_packed = packed and bc % 1024 == 0
 
         pos_dc = pos_cd.T
         mom_dc = mom_cd.T
         grad_dc_in = grad_cd.T
 
-        pos_o, mom_o, logp_o, grad_o = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[dc_spec, dc_spec, dc_spec],
-            out_specs=(dc_spec, dc_spec, c_spec, dc_spec),
-            out_shape=(
+        if use_packed:
+            # [D, C] -> [D, 8, C/8]: fill all 8 sublanes with chains.
+            shape3 = (d, 8, c // 8)
+            bc8 = bc // 8
+            inputs = [
+                x.reshape(shape3) for x in (pos_dc, mom_dc, grad_dc_in)
+            ]
+            dc_spec = pl.BlockSpec((d, 8, bc8), lambda i: (0, 0, i))
+            lp_spec = pl.BlockSpec((8, bc8), lambda i: (0, i))
+            out_shape = (
+                jax.ShapeDtypeStruct(shape3, dtype),
+                jax.ShapeDtypeStruct(shape3, dtype),
+                jax.ShapeDtypeStruct((8, c // 8), dtype),
+                jax.ShapeDtypeStruct(shape3, dtype),
+            )
+        else:
+            inputs = [pos_dc, mom_dc, grad_dc_in]
+            dc_spec = pl.BlockSpec((d, bc), lambda i: (0, i))
+            lp_spec = pl.BlockSpec((1, bc), lambda i: (0, i))
+            out_shape = (
                 jax.ShapeDtypeStruct((d, c), dtype),
                 jax.ShapeDtypeStruct((d, c), dtype),
                 jax.ShapeDtypeStruct((1, c), dtype),
                 jax.ShapeDtypeStruct((d, c), dtype),
-            ),
+            )
+
+        pos_o, mom_o, logp_o, grad_o = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[dc_spec, dc_spec, dc_spec],
+            out_specs=(dc_spec, dc_spec, lp_spec, dc_spec),
+            out_shape=out_shape,
             interpret=interpret,
-        )(pos_dc, mom_dc, grad_dc_in)
-        return pos_o.T, mom_o.T, logp_o[0], grad_o.T
+        )(*inputs)
+
+        if use_packed:
+            pos_o = pos_o.reshape(d, c)
+            mom_o = mom_o.reshape(d, c)
+            grad_o = grad_o.reshape(d, c)
+            logp_o = logp_o.reshape(c)
+        else:
+            logp_o = logp_o[0]
+        return pos_o.T, mom_o.T, logp_o, grad_o.T
 
     return traj

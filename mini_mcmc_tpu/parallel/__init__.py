@@ -1,5 +1,6 @@
 """Multi-chip chain sharding (mesh, shardings, collective diagnostics)."""
 
+from . import multihost
 from .mesh import (
     chain_mesh,
     chain_sharding,
