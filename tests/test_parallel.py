@@ -72,6 +72,41 @@ def test_sharded_mh_and_diagnostics():
     assert 0.8 < rs.rhat.mean < 1.2
 
 
+def test_sharded_nuts_runs():
+    from mini_mcmc_tpu import NUTS
+    from mini_mcmc_tpu.models import diffable_gaussian2d
+
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    nuts = NUTS(target, init_det(16, 2), 0.8).seed(7)
+    mesh = chain_mesh()
+    nuts.state = shard_sampler_state(mesh, nuts.state)
+    sample = nuts.run(20, 20)
+    assert sample.shape == (16, 20, 2)
+    eps = np.asarray(nuts.state.epsilon)
+    assert np.all(np.isfinite(eps)) and np.all(eps > 0)
+
+
+def test_multihost_state_matches_single_host():
+    import jax.numpy as jnp
+
+    from mini_mcmc_tpu.ops.hmc import hmc_kernel
+    from mini_mcmc_tpu.parallel import multihost
+
+    mesh = multihost.global_chain_mesh()
+    init_fn, _ = hmc_kernel(rosenbrock_nd(), 0.1, 3)
+    key = jax.random.PRNGKey(0)
+    state = multihost.host_local_state(mesh, init_fn, 32, 3, key)
+    direct = jnp.stack(
+        [
+            jax.random.normal(jax.random.fold_in(key, r), (3,), jnp.float32)
+            for r in range(32)
+        ]
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.positions), np.asarray(direct), rtol=1e-7
+    )
+
+
 def test_shard_chains_layout():
     mesh = chain_mesh()
     x = jnp.zeros((32, 4))
