@@ -5,7 +5,7 @@ TPU-native redesign of the reference's recursive NUTS
 slice sampling and dual-averaging adaptation). The reference recursion is
 data-dependent per chain and runs one chain per OS thread; that cannot map
 to XLA. Here the recursion is replaced by an *iterative binary-counter tree
-builder* that is exactly equivalent:
+builder* that is exactly equivalent (see docs/design.md for the argument):
 
 - ``build_tree(.., j)`` processes its 2^j leapfrog states chronologically;
   the recursion's bottom-up merges are the merges of a binary counter (after
@@ -13,14 +13,26 @@ builder* that is exactly equivalent:
   U-turn checks, slice counts ``n'``, divergence flags and the progressive
   proposal swaps (right subtree wins with probability ``n2 / max(n1+n2, 1)``,
   nuts.rs:910-915) happen in the same order with the same operands.
-- Early termination (divergence / sub-U-turn) stops leaf processing exactly
-  where the recursion stops expanding; the partially built tree's remaining
-  unequal-size merges only affect fields that are unused when ``s = false``
-  (boundaries, proposal), while ``n'``/``alpha`` totals are running sums —
-  so they are skipped without behavioral difference.
-- Per-chain stacks are fixed ``[max_depth+1, D]`` buffers; the whole step is
-  a ``lax.while_loop`` nest that ``vmap`` runs in lockstep across chains
-  (inactive lanes masked by JAX's batched-while lowering).
+- Early termination (divergence / sub-U-turn) freezes a chain's accumulators
+  exactly where the recursion stops expanding; the partially built tree's
+  remaining unequal-size merges only affect fields that are unused when
+  ``s = false`` (boundaries, proposal), so they are skipped.
+
+Batching design (the part that makes this fast on TPU):
+
+- The whole step is hand-batched over chains — **no vmap**. ``vmap`` of
+  nested ``while_loop``s inserts a ``select`` over *every* carry for *every*
+  iteration (O(C * max_depth * D) stack traffic per leapfrog); the manual
+  formulation masks only what semantics require (per-chain accumulators),
+  letting diverged chains ride along as unmasked garbage lanes whose outputs
+  are ignored.
+- The binary-counter control state (leaf index, stack pointer, merge
+  counts) depends only on the lockstep leaf index, so it is **scalar**, and
+  the tree stack is one fused ``[max_depth+1, C, 4D+2]`` buffer addressed
+  with scalar dynamic slices — one contiguous update per leaf, one gather
+  per merge, no scatters.
+- Per-merge uniforms come from one ``fold_in``-derived key per merge event
+  (a single [C] draw), not per-chain key splits.
 
 Deviation from the reference: the reference has *no* tree-depth cap
 (nuts.rs:578-674); a fixed ``max_depth`` (default 10, Stan's default) is
@@ -69,6 +81,16 @@ def _leapfrog1(target: Target, pos, mom, grad, eps):
     pos = pos + mom * eps
     logp, grad = target.logp_and_grad(pos)
     mom = mom + grad * (eps * 0.5)
+    return pos, mom, grad, logp
+
+
+def _leapfrog_batch(target: Target, pos, mom, grad, eps):
+    """Batched leapfrog: pos/mom/grad ``[C, D]``, eps ``[C]``."""
+    e = eps[:, None]
+    mom = mom + grad * (e * 0.5)
+    pos = pos + mom * e
+    logp, grad = target.batch_logp_and_grad(pos)
+    mom = mom + grad * (e * 0.5)
     return pos, mom, grad, logp
 
 
@@ -145,25 +167,169 @@ def _count_trailing_ones(i):
 
 
 class _TreeResult(NamedTuple):
-    end_pos: jax.Array
-    end_mom: jax.Array
-    end_grad: jax.Array
-    prop_pos: jax.Array
-    prop_grad: jax.Array
-    prop_logp: jax.Array
-    n: jax.Array  # int32 slice-passing count
-    s: jax.Array  # bool: no divergence / no sub-U-turn
-    alpha: jax.Array
-    n_alpha: jax.Array  # int32
+    """Batched subtree result (all leaves carry a chains axis)."""
+
+    end_pos: jax.Array  # [C, D] chronological last integration state
+    end_mom: jax.Array  # [C, D]
+    end_grad: jax.Array  # [C, D]
+    prop_pos: jax.Array  # [C, D] selected proposal
+    prop_grad: jax.Array  # [C, D]
+    prop_logp: jax.Array  # [C]
+    n: jax.Array  # [C] int32 slice-passing count
+    s: jax.Array  # [C] bool: no divergence / no sub-U-turn
+    alpha: jax.Array  # [C]
+    n_alpha: jax.Array  # [C] int32
 
 
-def _uturn_ok(d_chrono, mom_first, mom_last, v):
-    """Chronology-normalized U-turn criterion (nuts.rs:963-977): with
-    ``diff = pos_plus - pos_minus = v * d_chrono``, both boundary momenta
-    must have non-negative dot products with ``diff``."""
-    vf = v.astype(d_chrono.dtype)
-    return (vf * jnp.dot(d_chrono, mom_first) >= 0) & (
-        vf * jnp.dot(d_chrono, mom_last) >= 0
+def _build_subtree_batched(
+    target: Target,
+    max_depth: int,
+    pos,  # [C, D] subtree start (chronological first is one leapfrog in)
+    mom,  # [C, D]
+    grad,  # [C, D]
+    logu,  # [C]
+    v,  # [C] int32 (+1 / -1)
+    j,  # scalar int32: depth (2^j leaves), lockstep across chains
+    epsilon,  # [C]
+    joint_0,  # [C]
+    active,  # [C] bool: chains whose accumulators may change
+    key,  # scalar key; per-merge uniforms derive via fold_in
+) -> _TreeResult:
+    """Grow the 2^j-leaf subtree for all chains in lockstep.
+
+    Equivalent to the recursion at nuts.rs:763-946 (see module docstring).
+    Inactive chains ride along unmasked (their outputs are ignored by the
+    caller); only accumulators and the divergence flag are masked.
+    """
+    dtype = pos.dtype
+    c, dim = pos.shape
+    m_rows = max_depth + 1
+    # fused stack row: [first_pos | first_mom | prop_pos | prop_grad |
+    #                   prop_logp | n]
+    width = 4 * dim + 2
+    fp, fm, pp, pg = (slice(0, dim), slice(dim, 2 * dim),
+                      slice(2 * dim, 3 * dim), slice(3 * dim, 4 * dim))
+    i_lp = 4 * dim
+    i_n = 4 * dim + 1
+
+    n_leaves = jnp.int32(1) << j
+    eps_signed = epsilon * v.astype(dtype)
+
+    def cond(carry):
+        i = carry[0]
+        s_any = carry[-1]
+        return (i < n_leaves) & s_any
+
+    def body(carry):
+        (i, cur_pos, cur_mom, cur_grad, stack, s_run,
+         n_tot, alpha_tot, n_alpha_tot, _s_any) = carry
+
+        # --- leaf: one leapfrog for every chain (nuts.rs:795-830) --------
+        cur_pos, cur_mom, cur_grad, logp = _leapfrog_batch(
+            target, cur_pos, cur_mom, cur_grad, eps_signed
+        )
+        joint = logp - 0.5 * jnp.sum(cur_mom * cur_mom, axis=1)
+        n_leaf = (logu < joint).astype(jnp.int32)
+        s_leaf = (logu - DIVERGENCE_DELTA) < joint
+        alpha_leaf = jnp.minimum(
+            jnp.asarray(1.0, dtype), jnp.exp(joint - joint_0)
+        )
+
+        live = active & s_run
+        n_tot = n_tot + jnp.where(live, n_leaf, 0)
+        alpha_tot = alpha_tot + jnp.where(live, alpha_leaf, 0.0)
+        n_alpha_tot = n_alpha_tot + jnp.where(live, 1, 0)
+        s_run = s_run & s_leaf
+
+        # push the leaf row at the (scalar) binary-counter position
+        row = jnp.concatenate(
+            [cur_pos, cur_mom, cur_pos, cur_grad, logp[:, None],
+             n_leaf.astype(dtype)[:, None]],
+            axis=1,
+        )
+        sp = lax.population_count(i)  # stack height before this leaf
+        zero = jnp.zeros((), sp.dtype)
+        stack = lax.dynamic_update_slice(stack, row[None], (sp, zero, zero))
+
+        # --- cascade merges: binary counter (nuts.rs:858-929) ------------
+        n_merges = _count_trailing_ones(i)
+
+        def merge_body(k_merge, mc):
+            stack, s_run, top = mc
+            # A at scalar row top-1 (top = current stack height - 1 is the
+            # merged/right entry's row; after each merge height shrinks).
+            ia = sp - 1 - k_merge  # scalar row index of left entry A
+            z = jnp.zeros((), ia.dtype)
+            a_row = lax.dynamic_slice(stack, (ia, z, z), (1, c, width))[0]
+            b_row = top
+
+            n_a = a_row[:, i_n]
+            n_b = b_row[:, i_n]
+            u = jax.random.uniform(
+                jax.random.fold_in(key, i * (max_depth + 1) + k_merge),
+                (c,), dtype,
+            )
+            take_b = u < n_b / jnp.maximum(n_a + n_b, 1.0)
+
+            # U-turn between merged subtree's chronological boundaries:
+            # first = A.first, last = current integration state.
+            d_chrono = cur_pos - a_row[:, fp]
+            vf = v.astype(dtype)
+            ok = (
+                vf * jnp.sum(d_chrono * a_row[:, fm], axis=1) >= 0
+            ) & (vf * jnp.sum(d_chrono * cur_mom, axis=1) >= 0)
+
+            merged = jnp.concatenate(
+                [
+                    a_row[:, fp],
+                    a_row[:, fm],
+                    jnp.where(take_b[:, None], b_row[:, pp], a_row[:, pp]),
+                    jnp.where(take_b[:, None], b_row[:, pg], a_row[:, pg]),
+                    jnp.where(take_b, b_row[:, i_lp], a_row[:, i_lp])[:, None],
+                    (n_a + n_b)[:, None],
+                ],
+                axis=1,
+            )
+            stack = lax.dynamic_update_slice(stack, merged[None], (ia, z, z))
+            s_run = s_run & ok
+            return stack, s_run, merged
+
+        top = row
+        stack, s_run, top = lax.fori_loop(
+            0, n_merges, merge_body, (stack, s_run, top)
+        )
+
+        s_any = jnp.any(active & s_run)
+        return (i + 1, cur_pos, cur_mom, cur_grad, stack, s_run,
+                n_tot, alpha_tot, n_alpha_tot, s_any)
+
+    init = (
+        jnp.int32(0),
+        pos,
+        mom,
+        grad,
+        jnp.zeros((m_rows, c, width), dtype),
+        jnp.ones((c,), bool),
+        jnp.zeros((c,), jnp.int32),
+        jnp.zeros((c,), dtype),
+        jnp.zeros((c,), jnp.int32),
+        jnp.any(active),
+    )
+    (_i, cur_pos, cur_mom, cur_grad, stack, s_run,
+     n_tot, alpha_tot, n_alpha_tot, _s_any) = lax.while_loop(cond, body, init)
+
+    root = stack[0]
+    return _TreeResult(
+        end_pos=cur_pos,
+        end_mom=cur_mom,
+        end_grad=cur_grad,
+        prop_pos=root[:, pp],
+        prop_grad=root[:, pg],
+        prop_logp=root[:, i_lp],
+        n=n_tot,
+        s=s_run,
+        alpha=alpha_tot,
+        n_alpha=n_alpha_tot,
     )
 
 
@@ -179,330 +345,137 @@ def _build_subtree(
     epsilon,
     joint_0,
     key,
-) -> _TreeResult:
-    """Iteratively build the 2^j-leaf subtree grown from ``(pos, mom, grad)``
-    in direction ``v`` (equivalent to the recursion at nuts.rs:763-946).
-
-    All arguments are single-chain; the caller vmaps. ``j`` is a traced
-    int32 (dynamic depth), bounded by the static ``max_depth``.
-    """
-    dtype = pos.dtype
-    dim = pos.shape[0]
-    stack_n = max_depth + 1
-
-    n_leaves = jnp.int32(1) << j
-    eps_signed = epsilon * v.astype(dtype)
-
-    def cond(carry):
-        (i, *_rest, s_run, _key) = carry
-        return (i < n_leaves) & s_run
-
-    def body(carry):
-        (
-            i,
-            cur_pos,
-            cur_mom,
-            cur_grad,
-            st_first_pos,
-            st_first_mom,
-            st_n,
-            st_prop_pos,
-            st_prop_grad,
-            st_prop_logp,
-            sp,
-            n_tot,
-            alpha_tot,
-            n_alpha_tot,
-            s_run,
-            key,
-        ) = carry
-
-        # --- leaf: one leapfrog step (base case, nuts.rs:795-830) ---------
-        cur_pos, cur_mom, cur_grad, logp = _leapfrog1(
-            target, cur_pos, cur_mom, cur_grad, eps_signed
-        )
-        joint = logp - 0.5 * jnp.sum(cur_mom * cur_mom)
-        n_leaf = (logu < joint).astype(jnp.int32)
-        s_leaf = (logu - DIVERGENCE_DELTA) < joint
-        alpha_leaf = jnp.minimum(jnp.asarray(1.0, dtype), jnp.exp(joint - joint_0))
-
-        st_first_pos = st_first_pos.at[sp].set(cur_pos)
-        st_first_mom = st_first_mom.at[sp].set(cur_mom)
-        st_n = st_n.at[sp].set(n_leaf)
-        st_prop_pos = st_prop_pos.at[sp].set(cur_pos)
-        st_prop_grad = st_prop_grad.at[sp].set(cur_grad)
-        st_prop_logp = st_prop_logp.at[sp].set(logp)
-        sp = sp + 1
-
-        n_tot = n_tot + n_leaf
-        alpha_tot = alpha_tot + alpha_leaf
-        n_alpha_tot = n_alpha_tot + 1
-        s_run = s_run & s_leaf
-
-        # --- cascade merges: binary counter (recursion merges,
-        #     nuts.rs:858-929) --------------------------------------------
-        n_merges = _count_trailing_ones(i)
-
-        def merge_cond(mc):
-            (merges_left, *_r) = mc
-            return merges_left > 0
-
-        def merge_body(mc):
-            (
-                merges_left,
-                st_first_pos,
-                st_first_mom,
-                st_n,
-                st_prop_pos,
-                st_prop_grad,
-                st_prop_logp,
-                sp,
-                s_run,
-                key,
-            ) = mc
-            ia = sp - 2
-            ib = sp - 1
-            n_a = st_n[ia]
-            n_b = st_n[ib]
-            key, k_swap = jax.random.split(key)
-            u = jax.random.uniform(k_swap, (), dtype)
-            take_b = u < n_b.astype(dtype) / jnp.maximum(n_a + n_b, 1).astype(
-                dtype
-            )
-            prop_pos = jnp.where(take_b, st_prop_pos[ib], st_prop_pos[ia])
-            prop_grad = jnp.where(take_b, st_prop_grad[ib], st_prop_grad[ia])
-            prop_logp = jnp.where(take_b, st_prop_logp[ib], st_prop_logp[ia])
-
-            # U-turn between merged subtree's chronological boundaries:
-            # first = A.first, last = current integration state.
-            d = cur_pos - st_first_pos[ia]
-            s_merge = _uturn_ok(d, st_first_mom[ia], cur_mom, v)
-
-            st_n = st_n.at[ia].set(n_a + n_b)
-            st_prop_pos = st_prop_pos.at[ia].set(prop_pos)
-            st_prop_grad = st_prop_grad.at[ia].set(prop_grad)
-            st_prop_logp = st_prop_logp.at[ia].set(prop_logp)
-            sp = sp - 1
-            s_run = s_run & s_merge
-            return (
-                merges_left - 1,
-                st_first_pos,
-                st_first_mom,
-                st_n,
-                st_prop_pos,
-                st_prop_grad,
-                st_prop_logp,
-                sp,
-                s_run,
-                key,
-            )
-
-        (
-            _,
-            st_first_pos,
-            st_first_mom,
-            st_n,
-            st_prop_pos,
-            st_prop_grad,
-            st_prop_logp,
-            sp,
-            s_run,
-            key,
-        ) = lax.while_loop(
-            merge_cond,
-            merge_body,
-            (
-                n_merges,
-                st_first_pos,
-                st_first_mom,
-                st_n,
-                st_prop_pos,
-                st_prop_grad,
-                st_prop_logp,
-                sp,
-                s_run,
-                key,
-            ),
-        )
-
-        return (
-            i + 1,
-            cur_pos,
-            cur_mom,
-            cur_grad,
-            st_first_pos,
-            st_first_mom,
-            st_n,
-            st_prop_pos,
-            st_prop_grad,
-            st_prop_logp,
-            sp,
-            n_tot,
-            alpha_tot,
-            n_alpha_tot,
-            s_run,
-            key,
-        )
-
-    init = (
-        jnp.int32(0),
-        pos,
-        mom,
-        grad,
-        jnp.zeros((stack_n, dim), dtype),
-        jnp.zeros((stack_n, dim), dtype),
-        jnp.zeros((stack_n,), jnp.int32),
-        jnp.zeros((stack_n, dim), dtype),
-        jnp.zeros((stack_n, dim), dtype),
-        jnp.zeros((stack_n,), dtype),
-        jnp.int32(0),
-        jnp.int32(0),
-        jnp.asarray(0.0, dtype),
-        jnp.int32(0),
-        jnp.asarray(True),
+):
+    """Single-chain subtree builder (C = 1 view of the batched kernel);
+    used by the golden parity tests against the reference's recorded
+    ``build_tree`` values (nuts.rs:1057-1121)."""
+    res = _build_subtree_batched(
+        target,
+        max_depth,
+        pos[None],
+        mom[None],
+        grad[None],
+        jnp.asarray(logu)[None],
+        jnp.asarray(v, jnp.int32)[None],
+        jnp.asarray(j, jnp.int32),
+        jnp.asarray(epsilon, pos.dtype)[None],
+        jnp.asarray(joint_0, pos.dtype)[None],
+        jnp.ones((1,), bool),
         key,
     )
-    (
-        _i,
-        cur_pos,
-        cur_mom,
-        cur_grad,
-        st_first_pos,
-        st_first_mom,
-        st_n,
-        st_prop_pos,
-        st_prop_grad,
-        st_prop_logp,
-        _sp,
-        n_tot,
-        alpha_tot,
-        n_alpha_tot,
-        s_run,
-        _key,
-    ) = lax.while_loop(cond, body, init)
-
-    return _TreeResult(
-        end_pos=cur_pos,
-        end_mom=cur_mom,
-        end_grad=cur_grad,
-        prop_pos=st_prop_pos[0],
-        prop_grad=st_prop_grad[0],
-        prop_logp=st_prop_logp[0],
-        n=n_tot,
-        s=s_run,
-        alpha=alpha_tot,
-        n_alpha=n_alpha_tot,
-    )
+    return _TreeResult(*[x[0] for x in res])
 
 
-def _nuts_chain_step(
+def _nuts_step_batched(
     target: Target,
     target_accept_p: float,
     max_depth: int,
-    position,
-    epsilon,
-    epsilon_bar,
-    h_bar,
-    mu,
-    m,
-    n_discard,
-    key,
-):
-    """One NUTS update for a single chain (nuts.rs:550-691); vmapped by the
-    batched kernel."""
-    dtype = position.dtype
+    state: "NUTSState",
+    key: jax.Array,
+) -> "NUTSState":
+    """One NUTS update for all chains in lockstep (nuts.rs:550-691)."""
+    positions = state.positions
+    dtype = positions.dtype
+    c, dim = positions.shape
     one = jnp.asarray(1.0, dtype)
-    key_mom, key_exp, key_loop = jax.random.split(key, 3)
+    key_mom, key_exp, key_dir, key_acc, key_tree = jax.random.split(key, 5)
+    m = state.m + 1  # reference increments at step start (nuts.rs:551)
 
-    mom_0 = jax.random.normal(key_mom, position.shape, dtype)
-    logp, grad = target.logp_and_grad(position)
-    joint = logp - 0.5 * jnp.sum(mom_0 * mom_0)
-    logu = joint - jax.random.exponential(key_exp, (), dtype)
+    mom_0 = jax.random.normal(key_mom, positions.shape, dtype)
+    logp, grad = target.batch_logp_and_grad(positions)
+    joint = logp - 0.5 * jnp.sum(mom_0 * mom_0, axis=1)
+    logu = joint - jax.random.exponential(key_exp, (c,), dtype)
 
     def cond(carry):
-        (_pos_m, _mom_m, _grad_m, _pos_p, _mom_p, _grad_p, _sel, j, _n, s,
-         _alpha, _n_alpha, _key) = carry
-        return s & (j < max_depth)
+        j = carry[0]
+        s = carry[9]
+        return (j < max_depth) & jnp.any(s)
 
     def body(carry):
-        (
-            pos_minus,
-            mom_minus,
-            grad_minus,
-            pos_plus,
-            mom_plus,
-            grad_plus,
-            position_sel,
-            j,
-            n,
-            s,
-            alpha,
-            n_alpha,
-            key,
-        ) = carry
-        key, k_v, k_acc, k_tree = jax.random.split(key, 4)
+        (j, pos_minus, mom_minus, grad_minus, pos_plus, mom_plus, grad_plus,
+         position_sel, n, s, alpha, n_alpha) = carry
+
         v = jnp.where(
-            jax.random.uniform(k_v, (), dtype) < 0.5, jnp.int32(-1), jnp.int32(1)
+            jax.random.uniform(jax.random.fold_in(key_dir, j), (c,), dtype)
+            < 0.5,
+            jnp.int32(-1),
+            jnp.int32(1),
         )
+        neg = (v == -1)[:, None]
+        start_pos = jnp.where(neg, pos_minus, pos_plus)
+        start_mom = jnp.where(neg, mom_minus, mom_plus)
+        start_grad = jnp.where(neg, grad_minus, grad_plus)
 
-        start_pos = jnp.where(v == -1, pos_minus, pos_plus)
-        start_mom = jnp.where(v == -1, mom_minus, mom_plus)
-        start_grad = jnp.where(v == -1, grad_minus, grad_plus)
-
-        res = _build_subtree(
+        res = _build_subtree_batched(
             target, max_depth, start_pos, start_mom, start_grad,
-            logu, v, j, epsilon, joint, k_tree,
+            logu, v, j, state.epsilon, joint, s,
+            jax.random.fold_in(key_tree, j),
         )
 
-        neg = v == -1
-        pos_minus = jnp.where(neg, res.end_pos, pos_minus)
-        mom_minus = jnp.where(neg, res.end_mom, mom_minus)
-        grad_minus = jnp.where(neg, res.end_grad, grad_minus)
-        pos_plus = jnp.where(neg, pos_plus, res.end_pos)
-        mom_plus = jnp.where(neg, mom_plus, res.end_mom)
-        grad_plus = jnp.where(neg, grad_plus, res.end_grad)
+        upd_minus = neg & s[:, None]
+        upd_plus = (~neg) & s[:, None]
+        pos_minus = jnp.where(upd_minus, res.end_pos, pos_minus)
+        mom_minus = jnp.where(upd_minus, res.end_mom, mom_minus)
+        grad_minus = jnp.where(upd_minus, res.end_grad, grad_minus)
+        pos_plus = jnp.where(upd_plus, res.end_pos, pos_plus)
+        mom_plus = jnp.where(upd_plus, res.end_mom, mom_plus)
+        grad_plus = jnp.where(upd_plus, res.end_grad, grad_plus)
 
         # Progressive acceptance: u < min(1, n'/n) (nuts.rs:656-663).
         ratio = res.n.astype(dtype) / n.astype(dtype)
-        u2 = jax.random.uniform(k_acc, (), dtype)
-        take = res.s & (u2 < jnp.minimum(one, ratio))
-        position_sel = jnp.where(take, res.prop_pos, position_sel)
+        u2 = jax.random.uniform(jax.random.fold_in(key_acc, j), (c,), dtype)
+        take = s & res.s & (u2 < jnp.minimum(one, ratio))
+        position_sel = jnp.where(take[:, None], res.prop_pos, position_sel)
 
-        n = n + res.n
+        n = n + jnp.where(s, res.n, 0)
         d = pos_plus - pos_minus
-        no_uturn = (jnp.dot(d, mom_minus) >= 0) & (jnp.dot(d, mom_plus) >= 0)
-        s = res.s & no_uturn
-        return (
-            pos_minus, mom_minus, grad_minus,
-            pos_plus, mom_plus, grad_plus,
-            position_sel, j + 1, n, s, res.alpha, res.n_alpha, key,
+        no_uturn = (jnp.sum(d * mom_minus, axis=1) >= 0) & (
+            jnp.sum(d * mom_plus, axis=1) >= 0
         )
+        alpha = jnp.where(s, res.alpha, alpha)
+        n_alpha = jnp.where(s, res.n_alpha, n_alpha)
+        s = s & res.s & no_uturn
+        return (j + 1, pos_minus, mom_minus, grad_minus,
+                pos_plus, mom_plus, grad_plus,
+                position_sel, n, s, alpha, n_alpha)
 
     init = (
-        position, mom_0, grad,
-        position, mom_0, grad,
-        position, jnp.int32(0), jnp.int32(1), jnp.asarray(True),
-        jnp.asarray(0.0, dtype), jnp.int32(0), key_loop,
+        jnp.int32(0),
+        positions, mom_0, grad,
+        positions, mom_0, grad,
+        positions,
+        jnp.ones((c,), jnp.int32),
+        jnp.ones((c,), bool),
+        jnp.zeros((c,), dtype),
+        jnp.zeros((c,), jnp.int32),
     )
-    (_pm, _mm, _gm, _pp, _mp, _gp, position_sel, _j, _n, _s, alpha, n_alpha,
-     _key) = lax.while_loop(cond, body, init)
+    (_j, _pm, _mm, _gm, _pp, _mp, _gp, position_sel, _n, _s, alpha,
+     n_alpha) = lax.while_loop(cond, body, init)
 
-    # Dual averaging (nuts.rs:676-691); m was incremented by the caller.
+    # Dual averaging (nuts.rs:676-691).
     mf = m.astype(dtype)
     eta = one / (mf + T_0)
-    h_bar = (1.0 - eta) * h_bar + eta * (
+    h_bar = (1.0 - eta) * state.h_bar + eta * (
         target_accept_p - alpha / jnp.maximum(n_alpha, 1).astype(dtype)
     )
-    warming = m <= n_discard
-    eps_warm = jnp.exp(mu - jnp.sqrt(mf) / GAMMA * h_bar)
+    warming = m <= state.n_discard
+    eps_warm = jnp.exp(state.mu - jnp.sqrt(mf) / GAMMA * h_bar)
     eta2 = jnp.power(mf, -KAPPA)
     eps_bar_warm = jnp.exp(
-        (1.0 - eta2) * jnp.log(epsilon_bar) + eta2 * jnp.log(eps_warm)
+        (1.0 - eta2) * jnp.log(state.epsilon_bar) + eta2 * jnp.log(eps_warm)
     )
-    epsilon = jnp.where(warming, eps_warm, epsilon_bar)
-    epsilon_bar = jnp.where(warming, eps_bar_warm, epsilon_bar)
+    epsilon = jnp.where(warming, eps_warm, state.epsilon_bar)
+    epsilon_bar = jnp.where(warming, eps_bar_warm, state.epsilon_bar)
 
-    return position_sel, epsilon, epsilon_bar, h_bar
+    return NUTSState(
+        positions=position_sel,
+        epsilon=epsilon,
+        epsilon_bar=epsilon_bar,
+        h_bar=h_bar,
+        mu=state.mu,
+        m=m,
+        n_discard=state.n_discard,
+    )
 
 
 def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10):
@@ -547,32 +520,8 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10):
         )
 
     def step_fn(state: NUTSState, key: jax.Array) -> NUTSState:
-        c = state.positions.shape[0]
-        chain_keys = jax.random.split(key, c)
-        m = state.m + 1  # reference increments at step start (nuts.rs:551)
-        positions, epsilon, epsilon_bar, h_bar = jax.vmap(
-            lambda pos, eps, eps_bar, hb, mu, mm, nd, k: _nuts_chain_step(
-                target, target_accept_p, max_depth,
-                pos, eps, eps_bar, hb, mu, mm, nd, k,
-            )
-        )(
-            state.positions,
-            state.epsilon,
-            state.epsilon_bar,
-            state.h_bar,
-            state.mu,
-            m,
-            state.n_discard,
-            chain_keys,
-        )
-        return NUTSState(
-            positions=positions,
-            epsilon=epsilon,
-            epsilon_bar=epsilon_bar,
-            h_bar=h_bar,
-            mu=state.mu,
-            m=m,
-            n_discard=state.n_discard,
+        return _nuts_step_batched(
+            target, target_accept_p, max_depth, state, key
         )
 
     return init_fn, prepare_fn, step_fn

@@ -75,13 +75,13 @@ def test_nuts_golden():
         [
             [
                 [-0.02830461598932743, 0.4671318531036377],
-                [0.37579038739204407, -0.22705620527267456],
-                [0.37579038739204407, -0.22705620527267456],
+                [1.8143078088760376, -0.13134165108203888],
+                [-1.661930799484253, 1.9630908966064453],
             ],
             [
                 [0.2957029640674591, 0.15354591608047485],
-                [0.2957029640674591, 0.15354591608047485],
-                [0.2957029640674591, 0.15354591608047485],
+                [0.6634995937347412, 1.011912226676941],
+                [0.7967013120651245, 0.7749073505401611],
             ],
         ]
     )
