@@ -94,4 +94,11 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled TPU occasionally throws a transient
+    # "UNAVAILABLE: TPU device error"; one retry after a cooldown rescues
+    # the run without masking real failures.
+    try:
+        main()
+    except Exception:
+        time.sleep(90)
+        main()
