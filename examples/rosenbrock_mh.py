@@ -5,7 +5,6 @@ target as a plain log-density function (the reference implements the
 ``Target`` trait by hand; here a pure function suffices).
 """
 
-import jax.numpy as jnp
 import numpy as np
 
 from mini_mcmc_tpu import MetropolisHastings, init_det

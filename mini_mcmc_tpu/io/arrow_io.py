@@ -11,7 +11,7 @@ import numpy as np
 
 try:
     import pyarrow as pa
-    import pyarrow.ipc
+    import pyarrow.ipc  # noqa: F401 — registers pa.ipc
 
     _HAVE_PYARROW = True
 except Exception:  # pragma: no cover - environment without pyarrow

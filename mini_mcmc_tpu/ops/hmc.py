@@ -40,6 +40,7 @@ def hmc_kernel(
     unroll: int | bool = 8,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    jitter: float = 0.0,
 ):
     """Build ``(init_fn, step_fn)`` for batched HMC.
 
@@ -55,6 +56,12 @@ def hmc_kernel(
     ``logp_dc``/``grad_dc`` chains-on-lanes forms. Momentum/accept draws stay
     in the standard path, so the algorithm (and its PRNG stream) is
     unchanged; only the integrator implementation differs.
+
+    ``jitter`` > 0 scales the step size per sampler step by a shared
+    Uniform[1-jitter, 1+jitter] factor (Neal 2011's standard remedy for
+    fixed-(eps, L) periodicity; the reference has no jitter). The factor is
+    drawn independently of the state, so detailed balance is preserved.
+    With jitter == 0 the PRNG stream is identical to the unjittered kernel.
     """
     pallas_traj = None
     if use_pallas:
@@ -76,15 +83,15 @@ def hmc_kernel(
         logp, grad = target.batch_logp_and_grad(positions)
         return HMCState(positions=positions, logp=logp, grad=grad)
 
-    def leapfrog(pos, mom, logp, grad):
+    def leapfrog(pos, mom, logp, grad, eps):
         """L leapfrog steps with cached half-step gradient summands
         (hmc.rs:397-431). Returns (pos', mom', logp', grad')."""
-        half_eps = step_size * 0.5
+        half_eps = eps * 0.5
 
         def body(carry, _):
             pos, mom, _, grad = carry
             mom = mom + grad * half_eps
-            pos = pos + step_size * mom
+            pos = pos + eps * mom
             logp, grad = target.batch_logp_and_grad(pos)
             mom = mom + grad * half_eps
             return (pos, mom, logp, grad), None
@@ -100,7 +107,16 @@ def hmc_kernel(
 
     def step_fn(state: HMCState, key: jax.Array) -> HMCState:
         n_chains = state.positions.shape[0]
+        dtype = state.positions.dtype
         key_mom, key_u = jax.random.split(key)
+        if jitter > 0.0:
+            key_eps = jax.random.fold_in(key, 2)
+            factor = 1.0 + jitter * (
+                2.0 * jax.random.uniform(key_eps, (), dtype) - 1.0
+            )
+            eps = jnp.asarray(step_size, dtype) * factor
+        else:
+            eps = jnp.asarray(step_size, dtype)
 
         mom0 = jax.random.normal(
             key_mom, state.positions.shape, state.positions.dtype
@@ -110,11 +126,11 @@ def hmc_kernel(
 
         if pallas_traj is not None:
             pos_prop, mom_prop, logp_prop, grad_prop = pallas_traj(
-                state.positions, mom0, state.grad
+                state.positions, mom0, state.grad, eps
             )
         else:
             pos_prop, mom_prop, logp_prop, grad_prop = leapfrog(
-                state.positions, mom0, state.logp, state.grad
+                state.positions, mom0, state.logp, state.grad, eps
             )
         ke_proposed = 0.5 * jnp.sum(mom_prop * mom_prop, axis=1)
         h_proposed = -logp_prop + ke_proposed

@@ -507,10 +507,19 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10):
         c = state.positions.shape[0]
         dtype = state.positions.dtype
         mom_0 = jax.random.normal(key, state.positions.shape, dtype)
-        eps_found = jax.vmap(lambda p, q: find_reasonable_epsilon(target, p, q))(
-            state.positions, mom_0
-        )
         sentinel = jnp.abs(state.epsilon + 1.0) <= jnp.finfo(dtype).eps
+
+        def search(_):
+            return jax.vmap(
+                lambda p, q: find_reasonable_epsilon(target, p, q)
+            )(state.positions, mom_0)
+
+        # The epsilon search only runs when some chain still carries the
+        # -1 sentinel (first run); continuation runs skip it, like the
+        # reference's guard (nuts.rs:540-543) — only mu is refreshed.
+        eps_found = lax.cond(
+            jnp.any(sentinel), search, lambda _: state.epsilon, None
+        )
         epsilon = jnp.where(sentinel, eps_found, state.epsilon)
         mu = jnp.log(10.0 * epsilon)
         return state._replace(

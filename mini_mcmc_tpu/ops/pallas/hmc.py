@@ -72,15 +72,18 @@ def make_pallas_leapfrog(
             falls back to the flat layout otherwise.
 
     Returns:
-        ``traj(pos [C, D], mom [C, D], grad [C, D]) ->
+        ``traj(pos [C, D], mom [C, D], grad [C, D], eps) ->
         (pos' [C, D], mom' [C, D], logp' [C], grad' [C, D])`` — the same
         contract as the XLA leapfrog in ``ops/hmc.py`` (one gradient
-        evaluation per step via the cached half-step trick).
+        evaluation per step via the cached half-step trick). ``eps`` is a
+        runtime scalar (enables per-step step-size jitter); ``step_size`` is
+        only the default when ``eps`` is None.
     """
-    eps = step_size
-    half_eps = 0.5 * step_size
 
-    def kernel(pos_ref, mom_ref, grad_ref, pos_out, mom_out, logp_out, grad_out):
+    def kernel(eps_ref, pos_ref, mom_ref, grad_ref, pos_out, mom_out,
+               logp_out, grad_out):
+        eps = eps_ref[0, 0]
+        half_eps = eps * 0.5
         pos = pos_ref[:]
         mom = mom_ref[:]
         grad = grad_ref[:]
@@ -102,9 +105,12 @@ def make_pallas_leapfrog(
         logp_out[:] = logp_dc(pos)[None] if pos.ndim == 2 else logp_dc(pos)
 
     @functools.partial(jax.jit, static_argnames=())
-    def traj(pos_cd, mom_cd, grad_cd):
+    def traj(pos_cd, mom_cd, grad_cd, eps=None):
         c, d = pos_cd.shape
         dtype = pos_cd.dtype
+        if eps is None:
+            eps = jnp.asarray(step_size, dtype)
+        eps_arr = jnp.asarray(eps, dtype).reshape(1, 1)
         bc = min(block_c, c)
         if c % bc:
             raise ValueError(f"n_chains={c} must be divisible by block_c={bc}")
@@ -141,14 +147,20 @@ def make_pallas_leapfrog(
                 jax.ShapeDtypeStruct((d, c), dtype),
             )
 
+        if interpret:
+            eps_spec = pl.BlockSpec((1, 1), lambda i: (0, 0))
+        else:
+            eps_spec = pl.BlockSpec(
+                (1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+            )
         pos_o, mom_o, logp_o, grad_o = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[dc_spec, dc_spec, dc_spec],
+            in_specs=[eps_spec, dc_spec, dc_spec, dc_spec],
             out_specs=(dc_spec, dc_spec, lp_spec, dc_spec),
             out_shape=out_shape,
             interpret=interpret,
-        )(*inputs)
+        )(eps_arr, *inputs)
 
         if use_packed:
             pos_o = pos_o.reshape(d, c)

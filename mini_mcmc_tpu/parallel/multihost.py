@@ -18,22 +18,28 @@ Usage on each host of a multi-host slice:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
-from .mesh import CHAIN_AXIS, chain_mesh, chain_sharding
+from .mesh import chain_mesh, chain_sharding
 
 
 def initialize(**kwargs) -> None:
     """Initialize the JAX distributed runtime (idempotent convenience
-    wrapper around ``jax.distributed.initialize``)."""
+    wrapper around ``jax.distributed.initialize``). Real initialization
+    failures (bad coordinator, unreachable hosts) propagate."""
+    try:
+        if jax.distributed.is_initialized():
+            return
+    except AttributeError:  # older jax without is_initialized
+        pass
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        # already initialized
-        pass
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
 
 
 def global_chain_mesh():

@@ -75,19 +75,20 @@ def progress_run(
     start = time.monotonic()
     last_render = 0.0
 
-    remaining_discard = n_discard
-    remaining_collect = n_collect
-    while remaining_discard + remaining_collect > 0:
-        step_budget = min(chunk, remaining_discard + remaining_collect)
-        d = min(step_budget, remaining_discard)
-        c = step_budget - d
+    # Every chunk uses the collect-only signature (chunk, 0) so the whole
+    # progress run compiles at most two programs (full chunk + remainder);
+    # burn-in rows are simply dropped host-side. Varying (c, d) chunk
+    # signatures would recompile the entire sampling scan per combination.
+    remaining = n_discard + n_collect
+    while remaining > 0:
+        c = min(chunk, remaining)
         key, sub = jax.random.split(key)
-        state, sample, tracker = runner(state, sub, c, d, tracker=tracker)
-        if c > 0:
-            pieces.append(sample)
-        remaining_discard -= d
-        remaining_collect -= c
-        done += step_budget
+        state, sample, tracker = runner(state, sub, c, 0, tracker=tracker)
+        keep_from = max(0, n_discard - done)
+        if keep_from < c:
+            pieces.append(sample[:, keep_from:])
+        remaining -= c
+        done += c
 
         now = time.monotonic()
         if now - last_render >= _REFRESH_SECONDS or done >= total:

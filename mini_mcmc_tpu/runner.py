@@ -8,6 +8,11 @@ chains in parallel" is a single ``lax.scan`` over steps compiled by XLA; the
 canonical output keeps the reference's ``[n_chains, n_collect, dim]``
 contract (/root/reference/src/core.rs:173-186).
 
+Memory: the burn-in phase is a separate (output-free) scan inside the same
+compiled program, so device memory for recording is O(n_collect), matching
+the reference's allocation of only the collected rows (core.rs:55-73) —
+not O(n_collect + n_discard).
+
 Multi-chip: pass sharded ``state`` (chains axis over a mesh); chains are
 independent, so XLA's SPMD partitioner runs the same compiled loop per shard
 with no communication (see ``mini_mcmc_tpu.parallel``).
@@ -25,6 +30,39 @@ from jax import lax
 
 def _default_positions_of(state):
     return state.positions
+
+
+def _make_phases(step_fn, positions_of, tracker_update):
+    """Shared discard/collect scan phases."""
+
+    def discard_phase(state, tracker, key, n_discard: int):
+        if n_discard == 0:
+            return state, tracker
+
+        def body(carry, step_key):
+            state, tracker = carry
+            state = step_fn(state, step_key)
+            if tracker_update is not None and tracker is not None:
+                tracker = tracker_update(tracker, positions_of(state))
+            return (state, tracker), None
+
+        step_keys = jax.random.split(key, n_discard)
+        (state, tracker), _ = lax.scan(body, (state, tracker), step_keys)
+        return state, tracker
+
+    def collect_phase(state, tracker, key, n_collect: int):
+        def body(carry, step_key):
+            state, tracker = carry
+            state = step_fn(state, step_key)
+            if tracker_update is not None and tracker is not None:
+                tracker = tracker_update(tracker, positions_of(state))
+            return (state, tracker), positions_of(state)
+
+        step_keys = jax.random.split(key, n_collect)
+        (state, tracker), ys = lax.scan(body, (state, tracker), step_keys)
+        return state, tracker, ys  # ys: [n_collect, C, D]
+
+    return discard_phase, collect_phase
 
 
 def make_simple_runner(
@@ -51,6 +89,9 @@ def make_simple_runner(
     transposed once at the end, which beats strided ``[C, steps, D]``
     scatters on TPU.
     """
+    discard_phase, collect_phase = _make_phases(
+        step_fn, positions_of, tracker_update
+    )
 
     @partial(
         jax.jit,
@@ -58,18 +99,11 @@ def make_simple_runner(
         donate_argnames=("state",),
     )
     def run(state, key, n_collect: int, n_discard: int, tracker=None):
-        n_steps = n_collect + n_discard
-
-        def body(carry, step_key):
-            state, tracker = carry
-            state = step_fn(state, step_key)
-            if tracker_update is not None and tracker is not None:
-                tracker = tracker_update(tracker, positions_of(state))
-            return (state, tracker), positions_of(state)
-
-        step_keys = jax.random.split(key, n_steps)
-        (state, tracker), ys = lax.scan(body, (state, tracker), step_keys)
-        sample = jnp.swapaxes(ys[n_discard:], 0, 1)
+        key_discard, key_collect = jax.random.split(key)
+        state, tracker = discard_phase(state, tracker, key_discard, n_discard)
+        state, tracker, ys = collect_phase(state, tracker, key_collect,
+                                           n_collect)
+        sample = jnp.swapaxes(ys, 0, 1)
         return state, sample, tracker
 
     return run
@@ -89,6 +123,9 @@ def make_initial_recording_runner(
     semantics (row i = state after step ``n_discard + i`` for
     ``n_discard > 0``).
     """
+    discard_phase, collect_phase = _make_phases(
+        step_fn, positions_of, tracker_update
+    )
 
     @partial(
         jax.jit,
@@ -96,22 +133,22 @@ def make_initial_recording_runner(
         donate_argnames=("state",),
     )
     def run(state, key, n_collect: int, n_discard: int, tracker=None):
-        n_steps = n_collect + n_discard - 1
-
-        def body(carry, step_key):
-            state, tracker = carry
-            state = step_fn(state, step_key)
-            if tracker_update is not None and tracker is not None:
-                tracker = tracker_update(tracker, positions_of(state))
-            return (state, tracker), positions_of(state)
-
-        first = positions_of(state)
-        step_keys = jax.random.split(key, n_steps)
-        (state, tracker), ys = lax.scan(body, (state, tracker), step_keys)
+        key_discard, key_collect = jax.random.split(key)
         if n_discard == 0:
+            first = positions_of(state)
+            state, tracker, ys = collect_phase(
+                state, tracker, key_collect, n_collect - 1
+            )
             rows = jnp.concatenate([first[None], ys], axis=0)
         else:
-            rows = ys[n_discard - 1 :]
+            # n_discard - 1 unrecorded steps, then n_collect recorded ones
+            # (row 0 = state after step n_discard, nuts.rs:463-468).
+            state, tracker = discard_phase(
+                state, tracker, key_discard, n_discard - 1
+            )
+            state, tracker, rows = collect_phase(
+                state, tracker, key_collect, n_collect
+            )
         sample = jnp.swapaxes(rows, 0, 1)
         return state, sample, tracker
 

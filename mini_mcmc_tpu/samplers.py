@@ -139,13 +139,14 @@ class HMC(_KernelSampler):
     def __init__(self, target: Target, initial_positions, step_size: float,
                  n_leapfrog: int, seed: Optional[int] = None,
                  unroll: int = 8, use_pallas: bool = False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False, jitter: float = 0.0):
         self.target = target
         self.step_size = step_size
         self.n_leapfrog = n_leapfrog
         init_fn, step_fn = hmc_kernel(target, step_size, n_leapfrog,
                                       unroll=unroll, use_pallas=use_pallas,
-                                      pallas_interpret=pallas_interpret)
+                                      pallas_interpret=pallas_interpret,
+                                      jitter=jitter)
         super().__init__(init_fn, step_fn, initial_positions, seed)
 
 

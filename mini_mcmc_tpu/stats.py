@@ -104,9 +104,10 @@ def tracker_update(t: TrackerState, x: jax.Array) -> TrackerState:
         decay * accepted
     )
     # per-chain EWMA with the ChainTracker first-step convention
-    # (stats.rs:110-123): start from the first accept indicator.
+    # (stats.rs:110-116): the seed value compares only coordinate 0.
     fresh = t.p_accept_chains < 0.0
-    base = jnp.where(fresh, accepted, t.p_accept_chains)
+    accepted_coord0 = (x[:, 0] != t.last_state[:, 0]).astype(jnp.float32)
+    base = jnp.where(fresh, accepted_coord0, t.p_accept_chains)
     p_accept_chains = (1.0 - ALPHA) * base + ALPHA * accepted
 
     return TrackerState(
@@ -188,17 +189,10 @@ class ChainTracker:
         )
 
 
-def collect_rhat(means: jax.Array, sm2s: jax.Array, ns: jax.Array) -> jax.Array:
-    """Live R-hat from per-chain ``ChainStats`` (stats.rs:150-178).
-
-    Args:
-        means: ``[C, P]`` per-chain running means.
-        sm2s: ``[C, P]`` per-chain bias-corrected second moments.
-        ns: ``[C]`` per-chain step counts.
-
-    Preserves the reference's ``diffs.len() - 1`` (= C*P - 1) between-chain
-    divisor (stats.rs:173).
-    """
+def _withinvar_from_cs(means, sm2s, ns):
+    """Within-chain variance and pooled variance from live per-chain stats
+    (``withinvar_from_cs``, stats.rs:155-178). Preserves the reference's
+    ``diffs.len() - 1`` (= C*P - 1) between-chain divisor (stats.rs:173)."""
     means = jnp.asarray(means, jnp.float32)
     sm2s = jnp.asarray(sm2s, jnp.float32)
     within = jnp.mean(sm2s, axis=0)
@@ -207,6 +201,18 @@ def collect_rhat(means: jax.Array, sm2s: jax.Array, ns: jax.Array) -> jax.Array:
     between = jnp.sum(diffs**2, axis=0) / (diffs.size - 1)
     n = jnp.mean(jnp.asarray(ns, jnp.float32))
     var = between + within * ((n - 1.0) / n)
+    return within, var
+
+
+def collect_rhat(means: jax.Array, sm2s: jax.Array, ns: jax.Array) -> jax.Array:
+    """Live R-hat from per-chain ``ChainStats`` (stats.rs:150-178).
+
+    Args:
+        means: ``[C, P]`` per-chain running means.
+        sm2s: ``[C, P]`` per-chain bias-corrected second moments.
+        ns: ``[C]`` per-chain step counts.
+    """
+    within, var = _withinvar_from_cs(means, sm2s, ns)
     return jnp.sqrt(var / within)
 
 
@@ -243,18 +249,21 @@ def autocov_bf(sample: jax.Array) -> jax.Array:
     """Brute-force autocovariance (stats.rs:632-654), used for n <= 100.
 
     ``out[lag, d] = sum_t x[t, d] * x[t+lag, d] / n`` on mean-subtracted x.
-    Vectorized as a masked outer product over (t, lag) — n is small here.
+    Scanned over lags with O(n * d) scratch (the reference's memory profile,
+    stats.rs:644-651) — no [n, n, d] intermediate, which matters once this
+    runs vmapped across thousands of split chains.
     """
     sample = jnp.asarray(sample, jnp.float32)
     n = sample.shape[0]
     x = sample - jnp.mean(sample, axis=0, keepdims=True)
-    # prod[t, lag, d] = x[t] * x[t + lag], zero where t + lag >= n.
-    idx = jnp.arange(n)
-    shift_idx = idx[:, None] + idx[None, :]  # [t, lag]
-    valid = shift_idx < n
-    gathered = x[jnp.clip(shift_idx, 0, n - 1)]  # [t, lag, d]
-    prod = x[:, None, :] * gathered * valid[:, :, None]
-    return jnp.sum(prod, axis=0) / n
+    x_pad = jnp.concatenate([x, jnp.zeros_like(x)], axis=0)  # [2n, d]
+
+    def per_lag(_, lag):
+        shifted = jax.lax.dynamic_slice_in_dim(x_pad, lag, n, axis=0)
+        return None, jnp.sum(x * shifted, axis=0) / n
+
+    _, out = jax.lax.scan(per_lag, None, jnp.arange(n))
+    return out
 
 
 def autocov(sample: jax.Array) -> jax.Array:
@@ -348,14 +357,7 @@ def split_rhat_mean_ess(sample: jax.Array):
 def ess_from_chainstats(sample: jax.Array, means, sm2s, ns) -> jax.Array:
     """ESS from live streaming stats without splitting (stats.rs:668-671)."""
     sample = jnp.asarray(sample, jnp.float32)
-    means = jnp.asarray(means, jnp.float32)
-    sm2s = jnp.asarray(sm2s, jnp.float32)
-    within = jnp.mean(sm2s, axis=0)
-    global_means = jnp.mean(means, axis=0)
-    diffs = means - global_means[None, :]
-    between = jnp.sum(diffs**2, axis=0) / (diffs.size - 1)
-    n = jnp.mean(jnp.asarray(ns, jnp.float32))
-    var = between + within * ((n - 1.0) / n)
+    within, var = _withinvar_from_cs(means, sm2s, ns)
     return _ess(sample, within, var)
 
 

@@ -35,7 +35,6 @@ from mini_mcmc_tpu.models import (
     gaussian2d,
     isotropic_gaussian_proposal,
     rosenbrock2d,
-    rosenbrock_nd,
 )
 
 pytestmark = pytest.mark.slow

@@ -62,10 +62,6 @@ def test_leapfrog_matches_hand_rolled():
         pos = pos + eps * mom
         mom = mom + 0.5 * eps * grad(pos)
 
-    # framework leapfrog, accessed through a step with forced acceptance:
-    # replicate by reaching into the kernel internals via value inspection.
-    from mini_mcmc_tpu.ops import hmc as hmc_mod
-
     state = init_fn(pos0)
 
     # rebuild the same leapfrog scan the kernel uses

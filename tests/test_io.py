@@ -17,7 +17,7 @@ from mini_mcmc_tpu.io import (
 )
 
 pa = pytest.importorskip("pyarrow")
-import pyarrow.ipc  # noqa: E402
+import pyarrow.ipc  # noqa: E402, F401
 import pyarrow.parquet as pq  # noqa: E402
 
 

@@ -8,7 +8,6 @@ in-module sampling-moment checks
 (/root/reference/src/metropolis_hastings.rs:338-381).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.stats import binom, poisson
@@ -115,11 +114,6 @@ def test_mh_run_progress_returns_stats():
     target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
     proposal = isotropic_gaussian_proposal(1.0)
     mh = MetropolisHastings(target, proposal, init_det(4, 2)).seed(1)
-    import io
-
-    sink = io.StringIO()
-    import mini_mcmc_tpu.progress as prog
-
     sample, stats = mh.run_progress(500, 100)
     assert sample.shape == (4, 500, 2)
     assert stats.ess.min > 0

@@ -9,7 +9,6 @@ vs the pmf, Rosenbrock values and gradients vs finite differences.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mini_mcmc_tpu.models import (
     Categorical,

@@ -6,7 +6,6 @@ analog of the reference's FFT-vs-bruteforce cross-checks
 (/root/reference/src/stats.rs:777-808).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -23,7 +23,6 @@ from mini_mcmc_tpu.models import (
 from mini_mcmc_tpu.ops.nuts import (
     _build_subtree,
     find_reasonable_epsilon,
-    nuts_kernel,
 )
 
 

@@ -10,7 +10,6 @@ the mesh transparently.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from mini_mcmc_tpu import HMC, MetropolisHastings, init_det, run_stats
 from mini_mcmc_tpu.models import (
