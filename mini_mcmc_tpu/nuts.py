@@ -94,6 +94,13 @@ class NUTS:
     def dim(self) -> int:
         return self.state.positions.shape[1]
 
+    @property
+    def divergences(self) -> jax.Array:
+        """Per-chain count of divergent transitions (the reference only
+        uses divergence to stop tree growth, nuts.rs:807; exposing the
+        count is the standard Stan-style health diagnostic)."""
+        return self.state.divergences
+
     def run(self, n_collect: int, n_discard: int = 0) -> jax.Array:
         """Sample; returns ``[n_chains, n_collect, D]``."""
         self.state = self._prepare_fn(

@@ -73,6 +73,7 @@ class NUTSState(NamedTuple):
     mu: jax.Array  # [C] ln(10 * epsilon_0)
     m: jax.Array  # [C] int32 cumulative step count
     n_discard: jax.Array  # [C] int32 adaptation horizon of the current run
+    divergences: jax.Array  # [C] int32 count of divergent transitions
 
 
 def _leapfrog1(target: Target, pos, mom, grad, eps):
@@ -179,6 +180,7 @@ class _TreeResult(NamedTuple):
     s: jax.Array  # [C] bool: no divergence / no sub-U-turn
     alpha: jax.Array  # [C]
     n_alpha: jax.Array  # [C] int32
+    diverged: jax.Array  # [C] bool: a leaf tripped the divergence check
 
 
 def _build_subtree_batched(
@@ -222,7 +224,7 @@ def _build_subtree_batched(
 
     def body(carry):
         (i, cur_pos, cur_mom, cur_grad, stack, s_run,
-         n_tot, alpha_tot, n_alpha_tot, _s_any) = carry
+         n_tot, alpha_tot, n_alpha_tot, diverged, _s_any) = carry
 
         # --- leaf: one leapfrog for every chain (nuts.rs:795-830) --------
         cur_pos, cur_mom, cur_grad, logp = _leapfrog_batch(
@@ -239,6 +241,7 @@ def _build_subtree_batched(
         n_tot = n_tot + jnp.where(live, n_leaf, 0)
         alpha_tot = alpha_tot + jnp.where(live, alpha_leaf, 0.0)
         n_alpha_tot = n_alpha_tot + jnp.where(live, 1, 0)
+        diverged = diverged | (live & jnp.logical_not(s_leaf))
         s_run = s_run & s_leaf
 
         # push the leaf row at the (scalar) binary-counter position
@@ -301,7 +304,7 @@ def _build_subtree_batched(
 
         s_any = jnp.any(active & s_run)
         return (i + 1, cur_pos, cur_mom, cur_grad, stack, s_run,
-                n_tot, alpha_tot, n_alpha_tot, s_any)
+                n_tot, alpha_tot, n_alpha_tot, diverged, s_any)
 
     init = (
         jnp.int32(0),
@@ -313,10 +316,12 @@ def _build_subtree_batched(
         jnp.zeros((c,), jnp.int32),
         jnp.zeros((c,), dtype),
         jnp.zeros((c,), jnp.int32),
+        jnp.zeros((c,), bool),
         jnp.any(active),
     )
     (_i, cur_pos, cur_mom, cur_grad, stack, s_run,
-     n_tot, alpha_tot, n_alpha_tot, _s_any) = lax.while_loop(cond, body, init)
+     n_tot, alpha_tot, n_alpha_tot, diverged, _s_any) = lax.while_loop(
+        cond, body, init)
 
     root = stack[0]
     return _TreeResult(
@@ -330,6 +335,7 @@ def _build_subtree_batched(
         s=s_run,
         alpha=alpha_tot,
         n_alpha=n_alpha_tot,
+        diverged=diverged,
     )
 
 
@@ -393,7 +399,7 @@ def _nuts_step_batched(
 
     def body(carry):
         (j, pos_minus, mom_minus, grad_minus, pos_plus, mom_plus, grad_plus,
-         position_sel, n, s, alpha, n_alpha) = carry
+         position_sel, n, s, alpha, n_alpha, diverged) = carry
 
         v = jnp.where(
             jax.random.uniform(jax.random.fold_in(key_dir, j), (c,), dtype)
@@ -434,10 +440,11 @@ def _nuts_step_batched(
         )
         alpha = jnp.where(s, res.alpha, alpha)
         n_alpha = jnp.where(s, res.n_alpha, n_alpha)
+        diverged = diverged | (s & res.diverged)
         s = s & res.s & no_uturn
         return (j + 1, pos_minus, mom_minus, grad_minus,
                 pos_plus, mom_plus, grad_plus,
-                position_sel, n, s, alpha, n_alpha)
+                position_sel, n, s, alpha, n_alpha, diverged)
 
     init = (
         jnp.int32(0),
@@ -448,9 +455,10 @@ def _nuts_step_batched(
         jnp.ones((c,), bool),
         jnp.zeros((c,), dtype),
         jnp.zeros((c,), jnp.int32),
+        jnp.zeros((c,), bool),
     )
     (_j, _pm, _mm, _gm, _pp, _mp, _gp, position_sel, _n, _s, alpha,
-     n_alpha) = lax.while_loop(cond, body, init)
+     n_alpha, diverged) = lax.while_loop(cond, body, init)
 
     # Dual averaging (nuts.rs:676-691).
     mf = m.astype(dtype)
@@ -475,6 +483,7 @@ def _nuts_step_batched(
         mu=state.mu,
         m=m,
         n_discard=state.n_discard,
+        divergences=state.divergences + diverged.astype(jnp.int32),
     )
 
 
@@ -501,6 +510,7 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10):
             mu=jnp.full((c,), jnp.log(10.0), dtype),
             m=jnp.zeros((c,), jnp.int32),
             n_discard=jnp.zeros((c,), jnp.int32),
+            divergences=jnp.zeros((c,), jnp.int32),
         )
 
     def prepare_fn(state: NUTSState, key: jax.Array, n_discard: int) -> NUTSState:

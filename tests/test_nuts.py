@@ -125,6 +125,31 @@ def test_nuts_adaptation_reaches_target_accept():
     assert np.all(eps < 100.0)
 
 
+def test_nuts_divergence_counter():
+    # A pathologically large fixed step size forces divergent transitions;
+    # the per-chain counter must record them. A well-tuned run stays at 0.
+    target = rosenbrock2d(1.0, 100.0)
+    sampler = NUTS(target, init_det(4, 2), 0.8).seed(0)
+    # bypass adaptation with a huge epsilon
+    sampler.state = sampler.state._replace(
+        epsilon=jnp.full((4,), 10.0, jnp.float32)
+    )
+    sampler._prepare_fn = lambda state, key, n_discard: state
+    sampler.run(20, 0)
+    assert int(jnp.sum(sampler.divergences)) > 0
+
+    # A well-tuned target diverges at most a handful of times during
+    # early step-size adaptation (epsilon overshoot is normal warm-up
+    # behavior) and not after.
+    easy = NUTS(standard_normal(), init_det(4, 2), 0.8).seed(1)
+    easy.run(50, 50)
+    warmup_div = int(jnp.sum(easy.divergences))
+    assert warmup_div <= 8, warmup_div
+    before = int(jnp.sum(easy.divergences))
+    easy.run(50, 0)  # post-adaptation sampling
+    assert int(jnp.sum(easy.divergences)) == before
+
+
 def test_nuts_rhat_band():
     target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
     sampler = NUTS(target, init_det(3, 2), 0.8).seed(5)
