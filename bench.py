@@ -31,7 +31,7 @@ from mini_mcmc_tpu.models import rosenbrock_nd
 N_CHAINS = 8192
 DIM = 3
 STEP_SIZE = 0.015
-N_LEAPFROG = 96
+N_LEAPFROG = 192
 N_COLLECT = 8192
 N_DISCARD = 0  # burn-in happens via a first (discarded) collect run
 JITTER = 0.3  # per-step step-size jitter: fixed (eps, L) resonances make
