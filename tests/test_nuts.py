@@ -150,6 +150,30 @@ def test_nuts_divergence_counter():
     assert int(jnp.sum(easy.divergences)) == before
 
 
+def test_nuts_chain_isolation_under_masking():
+    # Lockstep masking correctness: a chain's trajectory must be invariant
+    # to what the OTHER chains do (here: chain 1 forced into immediate
+    # divergence with a huge per-chain epsilon). Chains share only loop
+    # *iteration counts*; all per-chain effects are masked, so chain 0's
+    # draws and decisions are identical in both runs.
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    init = jnp.array([[0.3, 1.2], [0.5, -0.4]], jnp.float32)
+
+    def run_with_eps1(eps1):
+        s = NUTS(target, init, 0.8).seed(9)
+        s.state = s.state._replace(
+            epsilon=jnp.array([0.5, eps1], jnp.float32)
+        )
+        s._prepare_fn = lambda state, key, n_discard: state._replace(
+            n_discard=jnp.zeros((2,), jnp.int32)
+        )
+        return np.asarray(s.run(8, 0))
+
+    normal = run_with_eps1(0.5)
+    partner_diverges = run_with_eps1(1e6)
+    np.testing.assert_array_equal(normal[0], partner_diverges[0])
+
+
 def test_nuts_rhat_band():
     target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
     sampler = NUTS(target, init_det(3, 2), 0.8).seed(5)
