@@ -93,6 +93,30 @@ def test_split_rhat_detects_nonconvergence():
     assert float(ess[0]) < 50.0
 
 
+def test_splitcat_odd_length_drops_middle():
+    # (C, n, P) with odd n: first n//2 and last n//2 rows; the middle
+    # element is dropped (stats.rs:396-402 slices ..half and -half..).
+    x = jnp.arange(5, dtype=jnp.float32).reshape(1, 5, 1)
+    splitted = S._splitcat(x)
+    assert splitted.shape == (2, 2, 1)
+    np.testing.assert_array_equal(
+        np.asarray(splitted).ravel(), [0.0, 1.0, 3.0, 4.0]
+    )
+
+
+def test_geyer_tau_breaks_at_first_nonpositive_pair():
+    # Pairs: (1.0+0.5)=1.5, (0.2+(-0.3))=-0.1 <= 0 -> stop after first.
+    rho = jnp.array([[1.0], [0.5], [0.2], [-0.3], [0.4], [0.4]], jnp.float32)
+    tau = float(S._geyer_tau(rho)[0])
+    assert np.isclose(tau, -1.0 + 2.0 * 1.5)
+    # Monotone clipping: pair sums 1.5, 1.0, 1.2 -> clipped to 1.5, 1.0, 1.0
+    rho2 = jnp.array(
+        [[1.0], [0.5], [0.6], [0.4], [0.7], [0.5]], jnp.float32
+    )
+    tau2 = float(S._geyer_tau(rho2)[0])
+    assert np.isclose(tau2, -1.0 + 2.0 * (1.5 + 1.0 + 1.0))
+
+
 def test_tracker_streaming_moments_match_batch():
     key = jax.random.PRNGKey(7)
     data = jax.random.normal(key, (20, 3, 2), jnp.float32)  # [steps, C, P]
