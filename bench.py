@@ -50,7 +50,8 @@ def _sync(x):
 def main():
     from mini_mcmc_tpu.ops.pallas import pallas_available
 
-    use_pallas = pallas_available()
+    # "full" = momentum RNG + trajectory + accept fused on-chip (TPU-only)
+    use_pallas = "full" if pallas_available() else False
     target = rosenbrock_nd()
     # Start near the mode plateau for fast equilibration.
     init = init_with_seed(N_CHAINS, DIM, seed=42) * 0.5 + 1.0
@@ -91,7 +92,7 @@ def main():
             "ess_min_per_sec": ess_min / elapsed,
             "rhat_mean": float(jnp.mean(rhat)),
             "backend": jax.default_backend(),
-            "fused_pallas_leapfrog": use_pallas,
+            "fused_pallas_kernel": str(use_pallas),
         },
     }
     print(json.dumps(result))

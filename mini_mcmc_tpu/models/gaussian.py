@@ -120,4 +120,17 @@ def standard_normal() -> Target:
     def logp(x):
         return -0.5 * jnp.sum(x * x)
 
-    return Target(logp=logp)
+    def logp_batch(positions):
+        return -0.5 * jnp.sum(positions * positions, axis=-1)
+
+    def grad(x):
+        return -x
+
+    def logp_dc(pos_dc):
+        return -0.5 * jnp.sum(pos_dc * pos_dc, axis=0)
+
+    def grad_dc(pos_dc):
+        return -pos_dc
+
+    return Target(logp=logp, logp_batch=logp_batch, grad=grad,
+                  logp_dc=logp_dc, grad_dc=grad_dc)

@@ -64,20 +64,34 @@ def hmc_kernel(
     With jitter == 0 the PRNG stream is identical to the unjittered kernel.
     """
     pallas_traj = None
+    pallas_full = None
     if use_pallas:
         if target.logp_dc is None or target.grad_dc is None:
             raise ValueError(
-                "use_pallas=True requires target.logp_dc and target.grad_dc"
+                "use_pallas requires target.logp_dc and target.grad_dc"
             )
-        from .pallas.hmc import make_pallas_leapfrog
+        if use_pallas == "full":
+            # Entire step (momentum RNG + trajectory + accept) on-chip with
+            # the hardware PRNG; distribution-identical, different stream.
+            from .pallas.hmc_full import make_pallas_hmc_step
 
-        pallas_traj = make_pallas_leapfrog(
-            target.grad_dc,
-            target.logp_dc,
-            step_size,
-            n_leapfrog,
-            interpret=pallas_interpret,
-        )
+            pallas_full = make_pallas_hmc_step(
+                target.grad_dc,
+                target.logp_dc,
+                step_size,
+                n_leapfrog,
+                interpret=pallas_interpret,
+            )
+        else:
+            from .pallas.hmc import make_pallas_leapfrog
+
+            pallas_traj = make_pallas_leapfrog(
+                target.grad_dc,
+                target.logp_dc,
+                step_size,
+                n_leapfrog,
+                interpret=pallas_interpret,
+            )
 
     def init_fn(positions: jax.Array) -> HMCState:
         logp, grad = target.batch_logp_and_grad(positions)
@@ -117,6 +131,15 @@ def hmc_kernel(
             eps = jnp.asarray(step_size, dtype) * factor
         else:
             eps = jnp.asarray(step_size, dtype)
+
+        if pallas_full is not None:
+            # Seed the hardware PRNG deterministically from the step key.
+            kd = jax.random.key_data(key).astype(jnp.uint32)
+            seed = (kd[..., 0] ^ kd[..., 1]).astype(jnp.int32)
+            positions, logp, grad = pallas_full(
+                state.positions, state.logp, state.grad, seed, eps
+            )
+            return HMCState(positions=positions, logp=logp, grad=grad)
 
         mom0 = jax.random.normal(
             key_mom, state.positions.shape, state.positions.dtype

@@ -1,0 +1,167 @@
+"""Fully-fused HMC step Pallas kernel: momentum RNG + trajectory + accept.
+
+One level beyond the trajectory kernel (``ops/pallas/hmc.py``): after fusing
+the L leapfrog steps, the remaining ~27 us per sampler step is the XLA-side
+glue — momentum sampling, Hamiltonian bookkeeping, the accept draw and
+masked update, plus layout round-trips. This kernel runs the *entire* HMC
+update (``HMC::step``, /root/reference/src/hmc.rs:304-377) on-chip:
+
+- momenta ~ N(0, 1) via the TPU hardware PRNG (`pltpu.prng_random_bits`)
+  with a Box-Muller transform;
+- L leapfrog steps with the cached half-step gradient trick;
+- per-chain Metropolis accept with a hardware-PRNG uniform
+  (accept iff ``H_cur - H_prop >= ln u``, hmc.rs:343-376);
+- masked state update, all in the packed ``[D, 8, C/8]`` layout.
+
+The PRNG stream is the TPU hardware generator, NOT the framework's threefry
+stream — results are distribution-identical but not reproducible against
+the standard path, so this kernel is opt-in (``HMC(use_pallas="full")``)
+and aimed at throughput benchmarking/production sampling. Seeding is still
+deterministic per (base seed, step, block).
+
+TPU-only: the hardware PRNG primitives have no CPU interpreter lowering
+(as of jax 0.9), so ``interpret=True`` works only for the non-RNG parts and
+CI covers this kernel via its TPU statistics (see tests/test_pallas.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _PALLAS_OK = True
+except Exception:  # pragma: no cover
+    _PALLAS_OK = False
+
+_TWO_PI = 6.283185307179586
+
+
+def _bits_to_unit_open(bits):
+    """uint32 -> float32 in (0, 1): 24 mantissa-ish bits, never 0.
+
+    Mosaic has no uint32->float cast; the top-24-bit value fits int32.
+    """
+    i24 = (bits >> 8).astype(jnp.int32)
+    return i24.astype(jnp.float32) * (1.0 / 16777216.0) + (1.0 / 33554432.0)
+
+
+def _normals(shape):
+    """Standard normals via Box-Muller from the hardware PRNG."""
+    u1 = _bits_to_unit_open(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                          jnp.uint32))
+    u2 = _bits_to_unit_open(pltpu.bitcast(pltpu.prng_random_bits(shape),
+                                          jnp.uint32))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return r * jnp.cos(_TWO_PI * u2)
+
+
+def make_pallas_hmc_step(
+    grad_dc,
+    logp_dc,
+    step_size: float,
+    n_leapfrog: int,
+    *,
+    block_c: int = 8192,
+    interpret: bool = False,
+):
+    """Build the fused full-step function.
+
+    Returns ``step(pos [C, D], logp [C], grad [C, D], seed int32, eps) ->
+    (pos' [C, D], logp' [C], grad' [C, D])``. ``eps`` is the (possibly
+    jittered) runtime step size.
+    """
+
+    def kernel(seed_ref, eps_ref, pos_ref, logp_ref, grad_ref,
+               pos_out, logp_out, grad_out):
+        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        eps = eps_ref[0]
+        half_eps = eps * 0.5
+
+        pos0 = pos_ref[:]
+        grad0 = grad_ref[:]
+        logp0 = logp_ref[:]
+
+        mom = _normals(pos0.shape)
+        ke_cur = 0.5 * jnp.sum(mom * mom, axis=0)
+        h_cur = -logp0 + ke_cur
+
+        def body(_, carry):
+            pos, mom, grad = carry
+            mom = mom + grad * half_eps
+            pos = pos + mom * eps
+            grad = grad_dc(pos)
+            mom = mom + grad * half_eps
+            return pos, mom, grad
+
+        pos, mom, grad = lax.fori_loop(
+            0, n_leapfrog, body, (pos0, mom, grad0), unroll=True
+        )
+
+        logp = logp_dc(pos)
+        ke_prop = 0.5 * jnp.sum(mom * mom, axis=0)
+        h_prop = -logp + ke_prop
+
+        u = _bits_to_unit_open(
+            pltpu.bitcast(pltpu.prng_random_bits(h_prop.shape), jnp.uint32)
+        )
+        accept = (h_cur - h_prop) >= jnp.log(u)
+
+        pos_out[:] = jnp.where(accept[None], pos, pos0)
+        grad_out[:] = jnp.where(accept[None], grad, grad0)
+        logp_out[:] = jnp.where(accept, logp, logp0)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(pos_cd, logp_c, grad_cd, seed, eps):
+        c, d = pos_cd.shape
+        dtype = pos_cd.dtype
+        bc = min(block_c, c)
+        if c % bc or bc % 1024:
+            raise ValueError(
+                f"n_chains={c} must be a multiple of block_c={bc} and 1024"
+            )
+        grid = (c // bc,)
+        shape3 = (d, 8, c // 8)
+        bc8 = bc // 8
+
+        pos_p = pos_cd.T.reshape(shape3)
+        grad_p = grad_cd.T.reshape(shape3)
+        logp_p = logp_c.reshape(8, c // 8)
+
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+        eps_arr = jnp.asarray(eps, dtype).reshape(1)
+
+        dc_spec = pl.BlockSpec((d, 8, bc8), lambda i: (0, 0, i))
+        lp_spec = pl.BlockSpec((8, bc8), lambda i: (0, i))
+        if interpret:
+            s_spec = pl.BlockSpec((1,), lambda i: (0,))
+        else:
+            s_spec = pl.BlockSpec((1,), lambda i: (0,),
+                                  memory_space=pltpu.SMEM)
+
+        pos_o, logp_o, grad_o = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[s_spec, s_spec, dc_spec, lp_spec, dc_spec],
+            out_specs=(dc_spec, lp_spec, dc_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct(shape3, dtype),
+                jax.ShapeDtypeStruct((8, c // 8), dtype),
+                jax.ShapeDtypeStruct(shape3, dtype),
+            ),
+            interpret=interpret,
+        )(seed_arr, eps_arr, pos_p, logp_p, grad_p)
+
+        return (
+            pos_o.reshape(d, c).T,
+            logp_o.reshape(c),
+            grad_o.reshape(d, c).T,
+        )
+
+    return step
