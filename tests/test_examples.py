@@ -28,6 +28,7 @@ def _run_example(name):
         "rosenbrock3d_hmc",
         "minimal_nuts",
         "mixture_gibbs",
+        "logistic_regression_nuts",
     ],
 )
 def test_example(name):
