@@ -11,6 +11,7 @@ from .discrete import (
 from .gaussian import (
     diffable_gaussian2d,
     gaussian2d,
+    gaussian_random_walk_proposal,
     isotropic_gaussian_proposal,
     isotropic_gaussian_target,
     standard_normal,
@@ -28,6 +29,7 @@ __all__ = [
     "diffable_gaussian2d",
     "gaussian2d",
     "gaussian_mixture_conditional",
+    "gaussian_random_walk_proposal",
     "isotropic_gaussian_proposal",
     "isotropic_gaussian_target",
     "poisson_target",

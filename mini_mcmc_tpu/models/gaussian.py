@@ -103,6 +103,30 @@ def isotropic_gaussian_proposal(std) -> Proposal:
     return Proposal(sample=sample, logp=logp)
 
 
+def gaussian_random_walk_proposal(scales) -> Proposal:
+    """Gaussian random walk with per-dimension scales (a generalization the
+    reference leaves to user code — its only built-in proposal is isotropic,
+    /root/reference/src/distributions.rs:344-396)."""
+    scales = jnp.asarray(scales)
+
+    def sample(key, current):
+        noise = scales.astype(current.dtype) * jax.random.normal(
+            key, current.shape, current.dtype
+        )
+        return current + noise
+
+    def logp(frm, to):
+        diff = (to - frm) / scales.astype(frm.dtype)
+        d = frm.shape[-1]
+        return (
+            -0.5 * jnp.sum(diff * diff)
+            - jnp.sum(jnp.log(scales.astype(frm.dtype)))
+            - 0.5 * d * jnp.log(jnp.asarray(2.0 * math.pi, frm.dtype))
+        )
+
+    return Proposal(sample=sample, logp=logp)
+
+
 def isotropic_gaussian_target(std) -> Target:
     """Isotropic Gaussian as a target: ``-0.5 * sum(x^2) / std^2``
     (/root/reference/src/distributions.rs:398-402)."""

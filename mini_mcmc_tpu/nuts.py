@@ -58,7 +58,13 @@ class NUTS:
         )
         # Copy: run() donates state buffers; don't invalidate the caller's
         # (possibly shared) initial-positions array.
-        self.state: NUTSState = init_fn(jnp.array(initial_positions, copy=True))
+        initial_positions = jnp.array(initial_positions, copy=True)
+        if initial_positions.ndim != 2:
+            raise ValueError(
+                "initial_positions must be [n_chains, dim]; got shape "
+                f"{initial_positions.shape}"
+            )
+        self.state: NUTSState = init_fn(initial_positions)
         self._prepare_fn = jax.jit(prepare_fn, static_argnames=("n_discard",))
         self._step_fn = step_fn
         self._key = _fresh_key(seed)

@@ -49,7 +49,13 @@ class _KernelSampler:
     def __init__(self, init_fn, step_fn, initial_positions, seed=None):
         # Copy: run() donates the state buffers to XLA; the caller's array
         # must not be invalidated (and may be shared across samplers).
-        self.state = init_fn(jnp.array(initial_positions, copy=True))
+        initial_positions = jnp.array(initial_positions, copy=True)
+        if initial_positions.ndim != 2:
+            raise ValueError(
+                "initial_positions must be [n_chains, dim]; got shape "
+                f"{initial_positions.shape}"
+            )
+        self.state = init_fn(initial_positions)
         self._step_fn = step_fn
         self._key = _fresh_key(seed)
         self._runner = make_simple_runner(

@@ -156,3 +156,41 @@ def test_binomial_target_logp():
         lp = float(target.logp(jnp.array([k], jnp.int32)))
         assert np.isclose(lp, binom.logpmf(k, 10, 0.3), atol=1e-5)
     assert float(target.logp(jnp.array([11], jnp.int32))) == -np.inf
+
+
+def test_gaussian_random_walk_proposal():
+    from mini_mcmc_tpu.models import gaussian_random_walk_proposal
+
+    prop = gaussian_random_walk_proposal([0.5, 2.0])
+    a = jnp.array([0.0, 0.0])
+    b = jnp.array([0.5, 2.0])
+    # symmetric in (from, to)
+    assert np.isclose(float(prop.logp(a, b)), float(prop.logp(b, a)), atol=1e-7)
+    # correct normalized diagonal-Gaussian density: one-sigma displacement
+    expected = (
+        -0.5 * 2.0
+        - np.log(0.5) - np.log(2.0)
+        - np.log(2 * np.pi)
+    )
+    assert np.isclose(float(prop.logp(a, b)), expected, atol=1e-5)
+    # per-dim scales respected in samples
+    keys = jax.random.split(jax.random.PRNGKey(0), 20000)
+    draws = jax.vmap(lambda k: prop.sample(k, a))(keys)
+    np.testing.assert_allclose(
+        np.asarray(jnp.std(draws, axis=0)), [0.5, 2.0], rtol=0.05
+    )
+
+
+def test_samplers_reject_1d_initial_positions():
+    import pytest
+
+    from mini_mcmc_tpu import NUTS, MetropolisHastings
+    from mini_mcmc_tpu.models import isotropic_gaussian_proposal
+
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    with pytest.raises(ValueError, match="n_chains, dim"):
+        MetropolisHastings(
+            target, isotropic_gaussian_proposal(1.0), jnp.zeros(2)
+        )
+    with pytest.raises(ValueError, match="n_chains, dim"):
+        NUTS(target, jnp.zeros(2))
