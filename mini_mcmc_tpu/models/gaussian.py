@@ -75,8 +75,29 @@ def diffable_gaussian2d(mean, cov) -> Target:
         # d/dx [-(1/2)(x-m)^T S^-1 (x-m)] = -S^-1 (x-m) (inv_cov symmetric)
         return -inv_cov.astype(x.dtype) @ (x - mean.astype(x.dtype))
 
+    # chains-on-lanes forms for Pallas kernels: pos_dc is [2, ...]; the 2x2
+    # quadratic is expanded scalar-wise with Python-float coefficients
+    # (Pallas kernels cannot capture traced array constants).
+    m0, m1 = float(mean[0]), float(mean[1])
+    ic00, ic01 = float(inv_cov[0, 0]), float(inv_cov[0, 1])
+    ic10, ic11 = float(inv_cov[1, 0]), float(inv_cov[1, 1])
+    nc = float(norm_const)
+
+    def logp_dc(pos_dc):
+        d0 = pos_dc[0] - m0
+        d1 = pos_dc[1] - m1
+        quad = ic00 * d0 * d0 + (ic01 + ic10) * d0 * d1 + ic11 * d1 * d1
+        return nc - 0.5 * quad
+
+    def grad_dc(pos_dc):
+        d0 = pos_dc[0] - m0
+        d1 = pos_dc[1] - m1
+        g0 = -(ic00 * d0 + ic01 * d1)
+        g1 = -(ic10 * d0 + ic11 * d1)
+        return jnp.concatenate([g0[None], g1[None]], axis=0)
+
     return Target(logp=logp, logp_batch=logp_batch, grad=grad,
-                  logp_normalized=logp)
+                  logp_normalized=logp, logp_dc=logp_dc, grad_dc=grad_dc)
 
 
 def isotropic_gaussian_proposal(std) -> Proposal:

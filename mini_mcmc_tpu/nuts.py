@@ -47,6 +47,8 @@ class NUTS:
         target_accept_p: float = 0.8,
         max_depth: int = 10,
         seed: Optional[int] = None,
+        use_pallas: bool = False,
+        pallas_interpret: bool = False,
     ):
         import jax.numpy as jnp
 
@@ -54,7 +56,8 @@ class NUTS:
         self.target_accept_p = target_accept_p
         self.max_depth = max_depth
         init_fn, prepare_fn, step_fn = nuts_kernel(
-            target, target_accept_p, max_depth
+            target, target_accept_p, max_depth,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
         # Copy: run() donates state buffers; don't invalidate the caller's
         # (possibly shared) initial-positions array.

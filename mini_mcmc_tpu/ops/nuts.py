@@ -378,8 +378,14 @@ def _nuts_step_batched(
     max_depth: int,
     state: "NUTSState",
     key: jax.Array,
+    pallas_subtree=None,
 ) -> "NUTSState":
-    """One NUTS update for all chains in lockstep (nuts.rs:550-691)."""
+    """One NUTS update for all chains in lockstep (nuts.rs:550-691).
+
+    ``pallas_subtree``, if given, replaces the XLA tree builder with the
+    fused Pallas kernel (ops/pallas/nuts_subtree.py) — same algorithm,
+    hash-derived merge uniforms (different stream).
+    """
     positions = state.positions
     dtype = positions.dtype
     c, dim = positions.shape
@@ -412,11 +418,21 @@ def _nuts_step_batched(
         start_mom = jnp.where(neg, mom_minus, mom_plus)
         start_grad = jnp.where(neg, grad_minus, grad_plus)
 
-        res = _build_subtree_batched(
-            target, max_depth, start_pos, start_mom, start_grad,
-            logu, v, j, state.epsilon, joint, s,
-            jax.random.fold_in(key_tree, j),
-        )
+        if pallas_subtree is not None:
+            tree_seed = jax.random.key_data(
+                jax.random.fold_in(key_tree, j)
+            ).astype(jnp.uint32)
+            seed = (tree_seed[..., 0] ^ tree_seed[..., 1]).astype(jnp.int32)
+            res = _TreeResult(*pallas_subtree(
+                start_pos, start_mom, start_grad,
+                logu, v, j, state.epsilon, joint, s, seed,
+            ))
+        else:
+            res = _build_subtree_batched(
+                target, max_depth, start_pos, start_mom, start_grad,
+                logu, v, j, state.epsilon, joint, s,
+                jax.random.fold_in(key_tree, j),
+            )
 
         upd_minus = neg & s[:, None]
         upd_plus = (~neg) & s[:, None]
@@ -487,7 +503,8 @@ def _nuts_step_batched(
     )
 
 
-def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10):
+def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10,
+                use_pallas: bool = False, pallas_interpret: bool = False):
     """Build ``(init_fn, prepare_fn, step_fn)`` for batched NUTS.
 
     ``init_fn(positions [C, D]) -> NUTSState`` (epsilon sentinel = -1,
@@ -496,7 +513,24 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10):
     ``find_reasonable_epsilon`` for sentinel chains and resets
     ``mu = ln(10 * eps)`` (init_chain, nuts.rs:528-545).
     ``step_fn(state, key) -> NUTSState``.
+
+    ``use_pallas``: fuse each subtree build into one Pallas kernel
+    (requires ``target.logp_dc``/``grad_dc`` and ``n_chains % 1024 == 0``;
+    merge-swap uniforms come from a counter hash — a different but
+    deterministic stream).
     """
+    pallas_subtree = None
+    if use_pallas:
+        if target.logp_dc is None or target.grad_dc is None:
+            raise ValueError(
+                "use_pallas requires target.logp_dc and target.grad_dc"
+            )
+        from .pallas.nuts_subtree import make_pallas_subtree
+
+        pallas_subtree = make_pallas_subtree(
+            target.grad_dc, target.logp_dc, max_depth,
+            interpret=pallas_interpret,
+        )
 
     def init_fn(positions: jax.Array) -> NUTSState:
         positions = jnp.asarray(positions)
@@ -540,7 +574,8 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10):
 
     def step_fn(state: NUTSState, key: jax.Array) -> NUTSState:
         return _nuts_step_batched(
-            target, target_accept_p, max_depth, state, key
+            target, target_accept_p, max_depth, state, key,
+            pallas_subtree=pallas_subtree,
         )
 
     return init_fn, prepare_fn, step_fn

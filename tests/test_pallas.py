@@ -100,3 +100,65 @@ def test_full_step_kernel_requires_tpu():
     grad = jnp.zeros((1024, 3), jnp.float32)
     with pytest.raises(Exception):
         jax.block_until_ready(step(pos, logp, grad, 0, 0.5))
+
+
+def test_pallas_subtree_matches_xla_on_golden_case():
+    # The reference's depth-3 golden case is RNG-free (all slice checks
+    # fail), so the fused Pallas subtree must match the XLA batched builder
+    # and the reference's recorded boundaries exactly.
+    from mini_mcmc_tpu.models import diffable_gaussian2d
+    from mini_mcmc_tpu.ops.nuts import _build_subtree_batched
+    from mini_mcmc_tpu.ops.pallas.nuts_subtree import make_pallas_subtree
+
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    c = 1024
+    pos = jnp.tile(jnp.array([[0.0, 1.0]], jnp.float32), (c, 1))
+    mom = jnp.tile(jnp.array([[2.0, 3.0]], jnp.float32), (c, 1))
+    grad = jnp.tile(jnp.array([[4.0, 5.0]], jnp.float32), (c, 1))
+    logu = jnp.full((c,), -2.0, jnp.float32)
+    v = jnp.full((c,), -1, jnp.int32)
+    eps = jnp.full((c,), 0.01, jnp.float32)
+    joint0 = jnp.full((c,), 0.1, jnp.float32)
+    active = jnp.ones((c,), bool)
+
+    interp = jax.default_backend() != "tpu"
+    sub = make_pallas_subtree(target.grad_dc, target.logp_dc, 10,
+                              interpret=interp)
+    (end_pos, _em, _eg, prop_pos, _pg, prop_logp, n, s, alpha, n_alpha,
+     _d) = sub(pos, mom, grad, logu, v, jnp.int32(3), eps, joint0, active, 0)
+
+    np.testing.assert_allclose(
+        np.asarray(end_pos[0]), [-0.1584001, 0.76208336], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(prop_pos[0]), [-0.0198, 0.97025], rtol=1e-4
+    )
+    assert int(n[0]) == 0 and bool(s[0]) and int(n_alpha[0]) == 8
+    assert abs(float(alpha[0]) - 0.0006866617) < 1e-7
+
+    ref = _build_subtree_batched(
+        target, 10, pos, mom, grad, logu, v, jnp.int32(3), eps, joint0,
+        active, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(end_pos), np.asarray(ref.end_pos), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(prop_pos), np.asarray(ref.prop_pos), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_nuts_use_pallas_end_to_end_interpret():
+    from mini_mcmc_tpu import NUTS
+    from mini_mcmc_tpu.models import diffable_gaussian2d
+
+    t = diffable_gaussian2d([1.0, 2.0], [[1.0, 0.5], [0.5, 2.0]])
+    init_pos = jax.random.normal(jax.random.PRNGKey(0), (1024, 2), jnp.float32)
+    interp = jax.default_backend() != "tpu"
+    s = NUTS(t, init_pos, 0.8, use_pallas=True, pallas_interpret=interp).seed(3)
+    sample = s.run(30, 30)
+    flat = np.asarray(sample).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [1.0, 2.0], atol=0.2)
+    np.testing.assert_allclose(
+        np.cov(flat.T), [[1.0, 0.5], [0.5, 2.0]], atol=0.4
+    )
