@@ -49,6 +49,7 @@ class NUTS:
         seed: Optional[int] = None,
         use_pallas: bool = False,
         pallas_interpret: bool = False,
+        warmup_max_depth: Optional[int] = None,
     ):
         import jax.numpy as jnp
 
@@ -58,6 +59,7 @@ class NUTS:
         init_fn, prepare_fn, step_fn = nuts_kernel(
             target, target_accept_p, max_depth,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            warmup_max_depth=warmup_max_depth,
         )
         # Copy: run() donates state buffers; don't invalidate the caller's
         # (possibly shared) initial-positions array.

@@ -379,6 +379,7 @@ def _nuts_step_batched(
     state: "NUTSState",
     key: jax.Array,
     pallas_subtree=None,
+    warmup_max_depth: int | None = None,
 ) -> "NUTSState":
     """One NUTS update for all chains in lockstep (nuts.rs:550-691).
 
@@ -398,10 +399,22 @@ def _nuts_step_batched(
     joint = logp - 0.5 * jnp.sum(mom_0 * mom_0, axis=1)
     logu = joint - jax.random.exponential(key_exp, (c,), dtype)
 
+    if warmup_max_depth is not None and warmup_max_depth < max_depth:
+        # Lockstep execution waits for the deepest tree across all chains;
+        # during warm-up a few unequilibrated stragglers otherwise force
+        # max-depth trees every step. Capping depth during adaptation only
+        # bounds that wall-time cost (steady-state sampling is unaffected).
+        warming_now = m[0] <= state.n_discard[0]
+        depth_limit = jnp.where(
+            warming_now, jnp.int32(warmup_max_depth), jnp.int32(max_depth)
+        )
+    else:
+        depth_limit = jnp.int32(max_depth)
+
     def cond(carry):
         j = carry[0]
         s = carry[9]
-        return (j < max_depth) & jnp.any(s)
+        return (j < depth_limit) & jnp.any(s)
 
     def body(carry):
         (j, pos_minus, mom_minus, grad_minus, pos_plus, mom_plus, grad_plus,
@@ -504,7 +517,8 @@ def _nuts_step_batched(
 
 
 def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10,
-                use_pallas: bool = False, pallas_interpret: bool = False):
+                use_pallas: bool = False, pallas_interpret: bool = False,
+                warmup_max_depth: int | None = None):
     """Build ``(init_fn, prepare_fn, step_fn)`` for batched NUTS.
 
     ``init_fn(positions [C, D]) -> NUTSState`` (epsilon sentinel = -1,
@@ -576,6 +590,7 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10,
         return _nuts_step_batched(
             target, target_accept_p, max_depth, state, key,
             pallas_subtree=pallas_subtree,
+            warmup_max_depth=warmup_max_depth,
         )
 
     return init_fn, prepare_fn, step_fn
