@@ -92,10 +92,14 @@ class Proposal:
     Attributes:
         sample: ``(key, current [D]) -> proposed [D]``.
         logp: ``(from [D], to [D]) -> scalar`` log q(to | from).
+        sample_batch: optional ``(key, current [C, D]) -> [C, D]`` drawing
+            the whole batch from ONE key (saves the per-chain key split —
+            a 2-3x RNG-cost cut at large chain counts).
     """
 
     sample: Callable
     logp: Callable
+    sample_batch: Optional[Callable] = None
 
 
 @dataclasses.dataclass(frozen=True)

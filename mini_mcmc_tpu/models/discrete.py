@@ -106,4 +106,4 @@ def random_walk_int_proposal(clip_low=0, clip_high=None) -> Proposal:
         del frm, to
         return jnp.log(0.5)
 
-    return Proposal(sample=sample, logp=logp)
+    return Proposal(sample=sample, logp=logp, sample_batch=sample)

@@ -121,7 +121,8 @@ def isotropic_gaussian_proposal(std) -> Proposal:
         d = frm.shape[-1]
         return lp - d * 0.5 * jnp.log(var * math.pi * std * std)
 
-    return Proposal(sample=sample, logp=logp)
+    # shape-generic: one key draws the whole [C, D] batch
+    return Proposal(sample=sample, logp=logp, sample_batch=sample)
 
 
 def gaussian_random_walk_proposal(scales) -> Proposal:
@@ -145,7 +146,7 @@ def gaussian_random_walk_proposal(scales) -> Proposal:
             - 0.5 * d * jnp.log(jnp.asarray(2.0 * math.pi, frm.dtype))
         )
 
-    return Proposal(sample=sample, logp=logp)
+    return Proposal(sample=sample, logp=logp, sample_batch=sample)
 
 
 def isotropic_gaussian_target(std) -> Target:

@@ -40,9 +40,12 @@ def mh_kernel(target: Target, proposal: Proposal):
     def step_fn(state: MHState, key: jax.Array) -> MHState:
         n_chains = state.positions.shape[0]
         key_prop, key_u = jax.random.split(key)
-        prop_keys = jax.random.split(key_prop, n_chains)
 
-        proposed = jax.vmap(proposal.sample)(prop_keys, state.positions)
+        if proposal.sample_batch is not None:
+            proposed = proposal.sample_batch(key_prop, state.positions)
+        else:
+            prop_keys = jax.random.split(key_prop, n_chains)
+            proposed = jax.vmap(proposal.sample)(prop_keys, state.positions)
         proposed_lp = target.batch_logp(proposed)
         log_q_fwd = jax.vmap(proposal.logp)(state.positions, proposed)
         log_q_bwd = jax.vmap(proposal.logp)(proposed, state.positions)

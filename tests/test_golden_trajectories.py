@@ -29,7 +29,7 @@ def test_mh_golden():
         init_det(2, 2),
     ).seed(42)
     got = np.asarray(mh.run(3, 2))
-    want = np.array([[[0.26953455805778503, 1.4713969230651855], [0.26953455805778503, 1.4713969230651855], [0.5380010604858398, 0.34322115778923035]], [[0.2957029640674591, 0.15354591608047485], [-0.825395941734314, 0.2549929618835449], [-0.825395941734314, 0.2549929618835449]]])
+    want = np.array([[[-1.263067603111267, 1.0463517904281616], [-1.263067603111267, 1.0463517904281616], [-0.06124138832092285, -0.7339062690734863]], [[0.7796245813369751, -0.5611918568611145], [-0.9635631442070007, -0.2759959101676941], [-0.9635631442070007, -0.2759959101676941]]])
     np.testing.assert_allclose(got, want, **TOL)
 
 
