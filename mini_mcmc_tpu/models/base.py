@@ -111,6 +111,11 @@ class Conditional:
             ``index`` from its full conditional given the complete state.
             Must be JAX-traceable (``index`` is a traced int under the
             coordinate sweep loop).
+        sample_batch: optional ``(key, index, states [C, D]) -> [C]``
+            drawing coordinate ``index`` for ALL chains from one key —
+            skips the per-chain key splitting and runs the conditional as
+            batched tensor ops.
     """
 
     sample: Callable
+    sample_batch: Optional[Callable] = None

@@ -45,7 +45,18 @@ def gibbs_kernel(conditional: Conditional):
         return lax.fori_loop(0, dim, body, state_row)
 
     def step_fn(state: GibbsState, key: jax.Array) -> GibbsState:
-        n_chains = state.positions.shape[0]
+        n_chains, dim = state.positions.shape
+        if conditional.sample_batch is not None:
+            # batched sweep: one key per coordinate, tensor ops over chains
+            coord_keys = jax.random.split(key, dim)
+
+            def body(i, positions):
+                values = conditional.sample_batch(coord_keys[i], i, positions)
+                return positions.at[:, i].set(values)
+
+            positions = lax.fori_loop(0, dim, body, state.positions)
+            return GibbsState(positions=positions)
+
         chain_step_keys = jax.random.split(key, n_chains)
         positions = jax.vmap(sweep_one_chain)(chain_step_keys, state.positions)
         return GibbsState(positions=positions)

@@ -56,5 +56,5 @@ def test_gibbs_golden():
         gaussian_mixture_conditional(-2.0, 1.0, 3.0, 1.5, 0.5), init_det(2, 2)
     ).seed(42)
     got = np.asarray(g.run(2, 1))
-    want = np.array([[[-1.7021608352661133, 0.0], [-2.6434454917907715, 0.0]], [[-1.103642463684082, 0.0], [-2.243318557739258, 0.0]]])
+    want = np.array([[[-3.2347629070281982, 0.0], [-2.8789219856262207, 0.0]], [[-1.420780062675476, 0.0], [-0.2402639389038086, 1.0]]])
     np.testing.assert_allclose(got, want, **TOL)
