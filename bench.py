@@ -32,8 +32,7 @@ N_CHAINS = 8192
 DIM = 3
 STEP_SIZE = 0.015
 N_LEAPFROG = 192
-N_COLLECT = 8192
-N_DISCARD = 0  # burn-in happens via a first (discarded) collect run
+N_COLLECT = 8192  # burn-in happens via a first (discarded) collect run
 JITTER = 0.3  # per-step step-size jitter: fixed (eps, L) resonances make
 # ESS wildly seed-dependent on Rosenbrock; jitter stabilizes ESS to ~1%
 # across seeds (Neal 2011)

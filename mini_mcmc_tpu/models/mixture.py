@@ -29,45 +29,25 @@ def gaussian_mixture_conditional(mu0, sigma0, mu1, sigma1, pi0) -> Conditional:
         return coeff * jnp.exp(-((x - mu) ** 2) / (2.0 * var))
 
     def sample(key, index, state):
+        # shape-generic: works for one chain ([2]) and batched ([C, 2])
         def sample_x(key):
-            z = state[1]
+            z = state[..., 1]
             mu = jnp.where(z < 0.5, mu0, mu1)
             sigma = jnp.where(z < 0.5, sigma0, sigma1)
-            return mu + sigma * jax.random.normal(key, (), state.dtype)
+            return mu + sigma * jax.random.normal(key, z.shape, state.dtype)
 
         def sample_z(key):
-            x = state[0]
+            x = state[..., 0]
             p0 = pi0 * normal_pdf(x, mu0, sigma0)
             p1 = (1.0 - pi0) * normal_pdf(x, mu1, sigma1)
             total = p0 + p1
             prob_z1 = jnp.where(total > 0.0, p1 / total, 0.5)
-            u = jax.random.uniform(key, (), state.dtype)
+            u = jax.random.uniform(key, x.shape, state.dtype)
             return jnp.where(u < prob_z1, 1.0, 0.0).astype(state.dtype)
 
         return jax.lax.cond(index == 0, sample_x, sample_z, key)
 
-    def sample_batch(key, index, states):
-        # batched over chains [C, 2] -> [C]; one key for the coordinate
-        def sample_x(key):
-            z = states[:, 1]
-            mu = jnp.where(z < 0.5, mu0, mu1)
-            sigma = jnp.where(z < 0.5, sigma0, sigma1)
-            return mu + sigma * jax.random.normal(
-                key, z.shape, states.dtype
-            )
-
-        def sample_z(key):
-            x = states[:, 0]
-            p0 = pi0 * normal_pdf(x, mu0, sigma0)
-            p1 = (1.0 - pi0) * normal_pdf(x, mu1, sigma1)
-            total = p0 + p1
-            prob_z1 = jnp.where(total > 0.0, p1 / total, 0.5)
-            u = jax.random.uniform(key, x.shape, states.dtype)
-            return jnp.where(u < prob_z1, 1.0, 0.0).astype(states.dtype)
-
-        return jax.lax.cond(index == 0, sample_x, sample_z, key)
-
-    return Conditional(sample=sample, sample_batch=sample_batch)
+    return Conditional(sample=sample, sample_batch=sample)
 
 
 def constant_conditional(c) -> Conditional:

@@ -53,6 +53,13 @@ class NUTS:
     ):
         import jax.numpy as jnp
 
+        if warmup_max_depth is not None and not (
+            1 <= warmup_max_depth <= max_depth
+        ):
+            raise ValueError(
+                f"warmup_max_depth must be in [1, max_depth={max_depth}]; "
+                f"got {warmup_max_depth}"
+            )
         self.target = target
         self.target_accept_p = target_accept_p
         self.max_depth = max_depth

@@ -133,9 +133,9 @@ def hmc_kernel(
             eps = jnp.asarray(step_size, dtype)
 
         if pallas_full is not None:
-            # Seed the hardware PRNG deterministically from the step key.
-            kd = jax.random.key_data(key).astype(jnp.uint32)
-            seed = (kd[..., 0] ^ kd[..., 1]).astype(jnp.int32)
+            # Seed the hardware PRNG deterministically from the FULL 64-bit
+            # step key (two int32 words).
+            seed = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
             positions, logp, grad = pallas_full(
                 state.positions, state.logp, state.grad, seed, eps
             )

@@ -73,14 +73,21 @@ def make_pallas_hmc_step(
 ):
     """Build the fused full-step function.
 
-    Returns ``step(pos [C, D], logp [C], grad [C, D], seed int32, eps) ->
-    (pos' [C, D], logp' [C], grad' [C, D])``. ``eps`` is the (possibly
-    jittered) runtime step size.
+    Returns ``step(pos [C, D], logp [C], grad [C, D], seed int32[2], eps)
+    -> (pos' [C, D], logp' [C], grad' [C, D])``. ``eps`` is the (possibly
+    jittered) runtime step size; ``seed`` is the full 64-bit step key as two
+    int32 scalars.
     """
 
     def kernel(seed_ref, eps_ref, pos_ref, logp_ref, grad_ref,
                pos_out, logp_out, grad_out):
-        pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+        # full 64-bit step key (two scalars; Mosaic caps prng_seed at two
+        # values) — xor-folding to 32 bits would birthday-collide after
+        # ~2^16 steps and replay noise. The block id is mixed into word 0.
+        pltpu.prng_seed(
+            seed_ref[0] + pl.program_id(0) * jnp.int32(0x27D4EB2F),
+            seed_ref[1],
+        )
         eps = eps_ref[0]
         half_eps = eps * 0.5
 
@@ -134,21 +141,24 @@ def make_pallas_hmc_step(
         grad_p = grad_cd.T.reshape(shape3)
         logp_p = logp_c.reshape(8, c // 8)
 
-        seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(2)
         eps_arr = jnp.asarray(eps, dtype).reshape(1)
 
         dc_spec = pl.BlockSpec((d, 8, bc8), lambda i: (0, 0, i))
         lp_spec = pl.BlockSpec((8, bc8), lambda i: (0, i))
         if interpret:
+            seed_spec = pl.BlockSpec((2,), lambda i: (0,))
             s_spec = pl.BlockSpec((1,), lambda i: (0,))
         else:
+            seed_spec = pl.BlockSpec((2,), lambda i: (0,),
+                                     memory_space=pltpu.SMEM)
             s_spec = pl.BlockSpec((1,), lambda i: (0,),
                                   memory_space=pltpu.SMEM)
 
         pos_o, logp_o, grad_o = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[s_spec, s_spec, dc_spec, lp_spec, dc_spec],
+            in_specs=[seed_spec, s_spec, dc_spec, lp_spec, dc_spec],
             out_specs=(dc_spec, lp_spec, dc_spec),
             out_shape=(
                 jax.ShapeDtypeStruct(shape3, dtype),

@@ -60,17 +60,20 @@ def host_local_state(mesh, init_fn: Callable, n_chains: int, dim: int,
 
     sharding = chain_sharding(mesh, 2)
 
-    def make_global(shape, per_index_fn):
+    def make_global(shape, rows_fn):
         def cb(index):
-            rows = range(*index[0].indices(shape[0]))
-            return jnp.stack([per_index_fn(r) for r in rows])
+            start, stop, _ = index[0].indices(shape[0])
+            return rows_fn(jnp.arange(start, stop))
 
         return jax.make_array_from_callback(shape, sharding, cb)
 
-    def row(r):
-        return jax.random.normal(
-            jax.random.fold_in(key, r), (dim,), dtype
-        )
+    def rows(indices):
+        # one vmapped dispatch per shard (per-row dispatches would cost
+        # O(rows) x the tunneled backend's ~80 ms launch latency)
+        return jax.vmap(
+            lambda r: jax.random.normal(jax.random.fold_in(key, r), (dim,),
+                                        dtype)
+        )(indices)
 
-    positions = make_global((n_chains, dim), row)
+    positions = make_global((n_chains, dim), rows)
     return init_fn(positions)

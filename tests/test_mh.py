@@ -117,3 +117,27 @@ def test_mh_run_progress_returns_stats():
     sample, stats = mh.run_progress(500, 100)
     assert sample.shape == (4, 500, 2)
     assert stats.ess.min > 0
+
+
+def test_mh_per_chain_proposal_fallback():
+    # A user proposal WITHOUT sample_batch takes the vmapped per-chain-key
+    # path; it must sample correctly (built-in proposals all provide
+    # sample_batch, so this branch needs its own coverage).
+    from mini_mcmc_tpu.models.base import Proposal
+
+    def sample(key, current):
+        return current + jnp.asarray(
+            0.8, current.dtype
+        ) * __import__("jax").random.normal(key, current.shape, current.dtype)
+
+    def logp(frm, to):
+        diff = to - frm
+        return -jnp.sum(diff * diff) / (2.0 * 0.8**2)
+
+    prop = Proposal(sample=sample, logp=logp)
+    assert prop.sample_batch is None
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    mh = MetropolisHastings(target, prop, init_det(8, 2)).seed(3)
+    flat = np.asarray(mh.run(3000, 500)).reshape(-1, 2)
+    assert np.all(np.abs(flat.mean(axis=0)) < 0.2), flat.mean(axis=0)
+    assert np.max(np.abs(np.cov(flat.T) - np.eye(2))) < 0.3

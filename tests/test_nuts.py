@@ -181,3 +181,17 @@ def test_nuts_rhat_band():
     rs = run_stats(sample)
     assert 0.9 <= rs.rhat.mean <= 1.1, rs.rhat
     assert rs.ess.min > 100.0, rs.ess
+
+
+def test_warmup_max_depth_validation_and_effect():
+    import pytest
+
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    with pytest.raises(ValueError, match="warmup_max_depth"):
+        NUTS(target, init_det(2, 2), 0.8, warmup_max_depth=0)
+    with pytest.raises(ValueError, match="warmup_max_depth"):
+        NUTS(target, init_det(2, 2), 0.8, max_depth=6, warmup_max_depth=7)
+    # A valid cap still samples the target correctly.
+    s = NUTS(target, init_det(4, 2), 0.8, warmup_max_depth=4).seed(11)
+    flat = np.asarray(s.run(600, 300)).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.3)
