@@ -14,6 +14,7 @@ from .gaussian import (
     gaussian_random_walk_proposal,
     isotropic_gaussian_proposal,
     isotropic_gaussian_target,
+    neal_funnel,
     standard_normal,
 )
 from .mixture import constant_conditional, gaussian_mixture_conditional
@@ -32,6 +33,7 @@ __all__ = [
     "gaussian_random_walk_proposal",
     "isotropic_gaussian_proposal",
     "isotropic_gaussian_target",
+    "neal_funnel",
     "poisson_target",
     "random_walk_int_proposal",
     "rosenbrock2d",

@@ -180,3 +180,45 @@ def standard_normal() -> Target:
 
     return Target(logp=logp, logp_batch=logp_batch, grad=grad,
                   logp_dc=logp_dc, grad_dc=grad_dc)
+
+
+def neal_funnel(scale: float = 3.0) -> Target:
+    """Neal's funnel: ``v ~ N(0, scale^2)``, ``x_i | v ~ N(0, e^v)``.
+
+    The classic pathological geometry for gradient-based samplers (not in
+    the reference's library; included as a hard-target stress case — its
+    neck produces divergences that exercise ``NUTS.divergences``). State is
+    ``[v, x_1, .., x_{D-1}]``.
+    """
+    inv_s2 = 1.0 / (scale * scale)
+
+    def logp(state):
+        v = state[0]
+        x = state[1:]
+        d = x.shape[0]
+        return (
+            -0.5 * v * v * inv_s2
+            - 0.5 * jnp.sum(x * x) * jnp.exp(-v)
+            - 0.5 * d * v
+        )
+
+    def logp_batch(states):
+        v = states[:, 0]
+        x = states[:, 1:]
+        d = x.shape[1]
+        return (
+            -0.5 * v * v * inv_s2
+            - 0.5 * jnp.sum(x * x, axis=1) * jnp.exp(-v)
+            - 0.5 * d * v
+        )
+
+    def grad(state):
+        v = state[0]
+        x = state[1:]
+        d = x.shape[0]
+        e = jnp.exp(-v)
+        gv = -v * inv_s2 + 0.5 * jnp.sum(x * x) * e - 0.5 * d
+        gx = -x * e
+        return jnp.concatenate([gv[None], gx])
+
+    return Target(logp=logp, logp_batch=logp_batch, grad=grad)

@@ -194,3 +194,21 @@ def test_samplers_reject_1d_initial_positions():
         )
     with pytest.raises(ValueError, match="n_chains, dim"):
         NUTS(target, jnp.zeros(2))
+
+
+def test_neal_funnel_logp_and_grad():
+    from mini_mcmc_tpu.models import neal_funnel
+
+    t = neal_funnel(3.0)
+    x = jnp.array([0.5, 1.0, -2.0])
+    # hand-computed: -0.5*v^2/9 - 0.5*(1+4)*e^-v - 0.5*2*v
+    expected = -0.5 * 0.25 / 9.0 - 0.5 * 5.0 * np.exp(-0.5) - 0.5
+    assert np.isclose(float(t.logp(x)), expected, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(t.grad(x)), np.asarray(jax.grad(t.logp)(x)), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(t.logp_batch(jnp.stack([x, x * 0.3]))),
+        np.asarray(jax.vmap(t.logp)(jnp.stack([x, x * 0.3]))),
+        rtol=1e-6,
+    )

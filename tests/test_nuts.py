@@ -195,3 +195,17 @@ def test_warmup_max_depth_validation_and_effect():
     s = NUTS(target, init_det(4, 2), 0.8, warmup_max_depth=4).seed(11)
     flat = np.asarray(s.run(600, 300)).reshape(-1, 2)
     np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.3)
+
+
+def test_nuts_funnel_produces_divergences():
+    # Neal's funnel neck is the canonical divergence generator; the
+    # diagnostics must light up where geometry breaks the integrator.
+    from mini_mcmc_tpu.models import neal_funnel
+
+    s = NUTS(neal_funnel(3.0), init_det(8, 4), 0.8).seed(2)
+    sample = s.run(300, 300)
+    assert int(jnp.sum(s.divergences)) > 0
+    # the v-marginal should still be roughly centered (funnel is hard, so
+    # only a loose sanity check)
+    v = np.asarray(sample[:, :, 0]).ravel()
+    assert abs(v.mean()) < 1.5, v.mean()
