@@ -161,6 +161,83 @@ def find_reasonable_epsilon(target: Target, position, mom):
     return epsilon
 
 
+def find_reasonable_epsilon_batch(target: Target, positions, mom):
+    """Hand-batched ``find_reasonable_epsilon``: positions/mom ``[C, D]`` ->
+    epsilon ``[C]``.
+
+    Same per-chain semantics as the scalar version (which stays as the
+    test oracle), but with ONE masked ``while_loop`` over batched tensors:
+    each iteration is a single ``[C, D]`` leapfrog (one batched
+    logp-and-grad on the MXU) instead of vmapping a per-chain nested
+    ``while_loop`` — the batched-while select over every per-chain carry
+    the module docstring's tree builder was hand-batched to avoid. Chains
+    freeze (``where`` on an active mask) once their own exit condition
+    holds; the active set only shrinks, so per-chain iteration counts (and
+    the safety-cap semantics) match the scalar loop.
+    """
+    dtype = positions.dtype
+    c = positions.shape[0]
+    one = jnp.ones((c,), dtype)
+    ln2 = jnp.asarray(jnp.log(2.0), dtype)
+    logp0, grad0 = target.batch_logp_and_grad(positions)
+    ke0 = 0.5 * jnp.sum(mom * mom, axis=-1)
+
+    def lf(eps):
+        _, mom_p, grad_p, logp_p = _leapfrog_batch(
+            target, positions, mom, grad0, eps
+        )
+        return mom_p, grad_p, logp_p
+
+    def bad(logp_p, grad_p):
+        # nuts.rs:717 quirk: continue only while logp AND grad are non-real.
+        bad_logp = jnp.isnan(logp_p) | jnp.isinf(logp_p)
+        bad_grad = jnp.any(jnp.isnan(grad_p) | jnp.isinf(grad_p), axis=-1)
+        return bad_logp & bad_grad
+
+    mom_p, grad_p, logp_p = lf(one)
+
+    def halve_cond(carry):
+        k, mom_p, grad_p, logp_p, it = carry
+        return jnp.any(bad(logp_p, grad_p)) & (it < _FIND_EPS_MAX_ITERS)
+
+    def halve_body(carry):
+        k, mom_p, grad_p, logp_p, it = carry
+        active = bad(logp_p, grad_p)
+        k = jnp.where(active, k * 0.5, k)
+        mom_n, grad_n, logp_n = lf(k)
+        mom_p = jnp.where(active[:, None], mom_n, mom_p)
+        grad_p = jnp.where(active[:, None], grad_n, grad_p)
+        logp_p = jnp.where(active, logp_n, logp_p)
+        return k, mom_p, grad_p, logp_p, it + 1
+
+    k, mom_p, grad_p, logp_p, _ = lax.while_loop(
+        halve_cond, halve_body, (one, mom_p, grad_p, logp_p, jnp.int32(0))
+    )
+
+    epsilon = 0.5 * k
+    log_accept = logp_p - logp0 - (0.5 * jnp.sum(mom_p * mom_p, axis=-1) - ke0)
+    a = jnp.where(log_accept > -ln2, one, -one)
+    two_pow_a = jnp.power(jnp.asarray(2.0, dtype), a)
+
+    def dbl_cond(carry):
+        epsilon, log_accept, it = carry
+        return jnp.any(a * log_accept > -a * ln2) & (it < _FIND_EPS_MAX_ITERS)
+
+    def dbl_body(carry):
+        epsilon, log_accept, it = carry
+        active = a * log_accept > -a * ln2
+        epsilon = jnp.where(active, epsilon * two_pow_a, epsilon)
+        mom_p, _, logp_p = lf(epsilon)
+        la = logp_p - logp0 - (0.5 * jnp.sum(mom_p * mom_p, axis=-1) - ke0)
+        log_accept = jnp.where(active, la, log_accept)
+        return epsilon, log_accept, it + 1
+
+    epsilon, _, _ = lax.while_loop(
+        dbl_cond, dbl_body, (epsilon, log_accept, jnp.int32(0))
+    )
+    return epsilon
+
+
 def _count_trailing_ones(i):
     """Number of trailing 1-bits of ``i`` = ctz(i+1)."""
     x = i + 1
@@ -568,9 +645,9 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10,
         sentinel = jnp.abs(state.epsilon + 1.0) <= jnp.finfo(dtype).eps
 
         def search(_):
-            return jax.vmap(
-                lambda p, q: find_reasonable_epsilon(target, p, q)
-            )(state.positions, mom_0)
+            return find_reasonable_epsilon_batch(
+                target, state.positions, mom_0
+            )
 
         # The epsilon search only runs when some chain still carries the
         # -1 sentinel (first run); continuation runs skip it, like the

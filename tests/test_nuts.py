@@ -36,6 +36,38 @@ def test_find_reasonable_epsilon_golden():
     assert float(eps) == 2.0
 
 
+def test_find_reasonable_epsilon_batch_matches_scalar():
+    # The hand-batched search (one masked while over [C, D] tensors) must
+    # reproduce the scalar oracle chain-for-chain, including chains that
+    # exercise the halving branch (funnel tails go non-finite) and both
+    # doubling directions.
+    import jax
+
+    from mini_mcmc_tpu.models import neal_funnel, rosenbrock_nd
+    from mini_mcmc_tpu.ops.nuts import find_reasonable_epsilon_batch
+
+    for target, scale in [(rosenbrock_nd(), 3.0), (neal_funnel(), 6.0)]:
+        key = jax.random.PRNGKey(0)
+        kp, km = jax.random.split(key)
+        pos = jax.random.normal(kp, (64, 3), jnp.float64) * scale
+        mom = jax.random.normal(km, (64, 3), jnp.float64)
+        batched = find_reasonable_epsilon_batch(target, pos, mom)
+        oracle = jax.vmap(
+            lambda p, q: find_reasonable_epsilon(target, p, q)
+        )(pos, mom)
+        np.testing.assert_allclose(
+            np.asarray(batched), np.asarray(oracle), rtol=1e-12
+        )
+    # and the reference golden still holds through the batched path
+    target = standard_normal()
+    eps = find_reasonable_epsilon_batch(
+        target,
+        jnp.array([[0.0, 1.0]], jnp.float64),
+        jnp.array([[1.0, 0.0]], jnp.float64),
+    )
+    assert float(eps[0]) == 2.0
+
+
 def test_build_tree_golden_deterministic():
     # /root/reference/src/nuts.rs:1057-1121: depth 3, v = -1, all 8 leaves
     # fail the slice check (n' = 0), so boundaries, counts and alpha are
