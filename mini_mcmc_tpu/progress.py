@@ -2,17 +2,23 @@
 
 TPU-native replacement for the reference's progress system
 (/root/reference/src/core.rs:208-360: per-chain worker threads, mpsc
-channels, a detached progress thread driving indicatif bars). On TPU all
-chains advance in lockstep inside one compiled scan, so per-chain bars are
-degenerate (every chain is always at the same step); what remains meaningful
-is the reference's *global* bar — percent done, streaming ``p(accept)`` EWMA
-and live ``max(R-hat)`` (core.rs:291-299, hmc.rs:270-280).
+channels, a detached progress thread driving indicatif bars). The display
+matches the reference's layout — one global bar plus up to five rotating
+per-chain bars showing each chain's ``p(accept)`` EWMA
+(core.rs:243-283) — with one semantic change forced by the execution
+model: on TPU all chains advance in lockstep inside one compiled scan, so
+the reference's finish-rotation (a chain's bar is replaced by the next
+chain index when that chain completes, core.rs:301-317) would degenerate
+to a single end-of-run swap. Rotation here advances on the worker-side
+stats tick instead, so a long run still cycles through every chain's
+statistics like the reference's display does.
 
 Implementation: the run is chunked into several compiled scans; between
-chunks the tiny tracker summary (two scalars) is fetched to the host and a
-single stderr line is refreshed. This replaces mpsc channels with the
-device->host transfer at a throttled cadence (the reference throttles to 1 s
-worker-side and 250 ms UI-side, core.rs:105, :230).
+chunks the tiny tracker summary is fetched to the host and the bar block
+is redrawn on stderr. This replaces mpsc channels with the device->host
+transfer at the reference's throttled cadence: stats are fetched at most
+once per second (the worker-side throttle, core.rs:105) and the screen is
+redrawn at most every 250 ms (the UI-side throttle, core.rs:230).
 """
 
 from __future__ import annotations
@@ -26,26 +32,69 @@ import jax.numpy as jnp
 
 from . import stats as stats_mod
 
-#: minimum seconds between progress line refreshes
+#: worker-side throttle: min seconds between device->host stats fetches
+#: (the analog of the reference chains' 1 s send throttle, core.rs:105)
+_STATS_SECONDS = 1.0
+#: UI-side throttle: min seconds between screen redraws (core.rs:230)
 _REFRESH_SECONDS = 0.25
+#: concurrent per-chain bars (core.rs:244: ``rxs.len().min(5)``)
+_MAX_CHAIN_BARS = 5
 #: target number of chunks per run (more chunks = fresher stats, more
 #: dispatch overhead)
 _TARGET_CHUNKS = 20
 
 
-def _render(done: int, total: int, p_accept: float, chain_spread,
-            max_rhat: float, elapsed: float, stream) -> None:
-    width = 30
+def _bar(done: int, total: int, width: int = 30) -> str:
     frac = done / max(total, 1)
     filled = int(width * frac)
-    bar = "#" * filled + "-" * (width - filled)
-    lo, hi = chain_spread
-    stream.write(
-        f"\r[{bar}] {done}/{total} steps "
-        f"p(accept)={p_accept:.3f} (chains {lo:.2f}..{hi:.2f}) "
-        f"max(rhat)={max_rhat:.3f} {elapsed:.1f}s"
-    )
-    stream.flush()
+    return "=" * filled + ">" + "-" * (width - filled) if filled < width \
+        else "=" * width
+
+
+class _ProgressDisplay:
+    """Global + rotating per-chain bar block (core.rs:236-324 layout)."""
+
+    def __init__(self, n_chains: int, total: int, stream):
+        self.n_chains = n_chains
+        self.total = total
+        self.stream = stream
+        self.active = list(range(min(n_chains, _MAX_CHAIN_BARS)))
+        self.next_active = len(self.active)
+        self._prev_lines = 0
+        self._isatty = bool(getattr(stream, "isatty", lambda: False)())
+
+    def rotate(self) -> None:
+        """Advance one displayed chain to the next undisplayed index.
+
+        The reference rotates a bar when its chain finishes
+        (core.rs:301-317); chains here finish simultaneously, so rotation
+        rides the stats tick instead. Like the reference, every chain is
+        shown at most once, then rotation stops.
+        """
+        if self.next_active < self.n_chains:
+            self.active = self.active[1:] + [self.next_active]
+            self.next_active += 1
+
+    def render(self, done: int, p_accept: float, p_accept_chains,
+               max_rhat: float, elapsed: float) -> None:
+        lines = [
+            f"Global   [{_bar(done, self.total)}] {done}/{self.total} "
+            f"({elapsed:.1f}s) | p(accept)≈{p_accept:.2f} "
+            f"max(rhat)≈{max_rhat:.2f}"
+        ]
+        for idx in self.active:
+            lines.append(
+                f"Chain {idx:<2} [{_bar(done, self.total)}] "
+                f"{done}/{self.total} | "
+                f"p(accept)≈{float(p_accept_chains[idx]):.2f}"
+            )
+        if self._isatty and self._prev_lines:
+            # move to the start of the previous block and overwrite
+            self.stream.write(f"\x1b[{self._prev_lines}F")
+            lines = [ln + "\x1b[K" for ln in lines]
+        self.stream.write("\n".join(lines) + "\n")
+        self.stream.flush()
+        self._prev_lines = len(lines)
 
 
 def progress_run(
@@ -59,7 +108,7 @@ def progress_run(
     dim: int,
     stream=None,
 ):
-    """Run ``runner`` in chunks with a live global progress line.
+    """Run ``runner`` in chunks with a live progress bar block.
 
     ``runner`` is a compiled runner from :mod:`mini_mcmc_tpu.runner` taking
     ``(state, key, n_collect, n_discard, tracker)``. Returns
@@ -70,10 +119,13 @@ def progress_run(
     chunk = max(1, total // _TARGET_CHUNKS)
 
     tracker = stats_mod.tracker_init(n_chains, dim)
+    display = _ProgressDisplay(n_chains, total, stream)
     pieces = []
     done = 0
     start = time.monotonic()
     last_render = 0.0
+    last_stats = 0.0
+    stats = None  # (p_accept, p_accept_chains, max_rhat)
 
     # Every chunk uses the collect-only signature (chunk, 0) so the whole
     # progress run compiles at most two programs (full chunk + remainder);
@@ -91,20 +143,25 @@ def progress_run(
         done += c
 
         now = time.monotonic()
-        if now - last_render >= _REFRESH_SECONDS or done >= total:
+        final = done >= total
+        if stats is None or now - last_stats >= _STATS_SECONDS or final:
+            # worker-side tick: fetch stats to the host, rotate the bars
             p_accept = float(tracker.p_accept)
-            pc = tracker.p_accept_chains
-            spread = (float(jnp.min(pc)), float(jnp.max(pc)))
+            pc = jnp.asarray(tracker.p_accept_chains)
             max_rhat = float(stats_mod.tracker_max_rhat(tracker))
-            _render(done, total, p_accept, spread, max_rhat, now - start,
-                    stream)
+            if stats is not None:
+                display.rotate()
+            stats = (p_accept, pc, max_rhat)
+            last_stats = now
+        if now - last_render >= _REFRESH_SECONDS or final:
+            display.render(done, stats[0], stats[1], stats[2], now - start)
             last_render = now
 
-    stream.write("\n")
     stream.flush()
+    dtype = getattr(getattr(state, "positions", None), "dtype", jnp.float32)
     sample = (
         jnp.concatenate(pieces, axis=1)
         if pieces
-        else jnp.zeros((n_chains, 0, dim))
+        else jnp.zeros((n_chains, 0, dim), dtype)
     )
     return state, sample

@@ -96,11 +96,13 @@ class _KernelSampler:
         )
         return sample
 
-    def run_progress(self, n_collect: int, n_discard: int = 0):
-        """Like :meth:`run`, with live progress (global bar with streaming
-        ``p(accept)`` and ``max R-hat``, the lockstep analog of
+    def run_progress(self, n_collect: int, n_discard: int = 0, *,
+                     stream=None):
+        """Like :meth:`run`, with live progress (a global bar plus rotating
+        per-chain ``p(accept)`` bars, the lockstep analog of
         /root/reference/src/core.rs:208-360) and final
-        :class:`~mini_mcmc_tpu.stats.RunStats`."""
+        :class:`~mini_mcmc_tpu.stats.RunStats`. ``stream`` overrides the
+        output stream (default stderr)."""
         self.state, sample = progress_run(
             self._runner,
             self.state,
@@ -109,6 +111,7 @@ class _KernelSampler:
             n_discard,
             n_chains=self.n_chains,
             dim=self.dim,
+            stream=stream,
         )
         return sample, stats_mod.run_stats(sample)
 

@@ -294,12 +294,16 @@ def _withinvar(splitted: jax.Array):
     chain_means = jnp.mean(splitted, axis=1)  # [2C, P]
     overall_mean = jnp.mean(chain_means, axis=0)  # [P]
     diff = chain_means - overall_mean[None, :]
-    b = jnp.sum(diff**2, axis=0) * (n / (c - 1.0))
+    # float division throughout: with a degenerate split (n' == 0, e.g. a
+    # single-draw sample) the reference's f64 arithmetic yields NaN/inf
+    # rather than panicking — Python int division would raise instead.
+    nf = float(n)
+    b = jnp.sum(diff**2, axis=0) * (nf / (c - 1.0))
     squares = jnp.mean(
         (splitted - chain_means[:, None, :]) ** 2, axis=1
     )  # [2C, P] biased per-chain variance
     w = jnp.mean(squares, axis=0)
-    v = ((n - 1.0) / n) * w + b / n
+    v = ((nf - 1.0) / nf) * w + b / nf if nf > 0 else w * jnp.nan
     return w, v
 
 
