@@ -128,6 +128,39 @@ def test_dryrun_multichip_self_provisions_mesh():
     assert proc.returncode == 0, proc.stderr[-2000:]
 
 
+def test_multihost_two_process_end_to_end():
+    """2-process jax.distributed run (gloo CPU collectives): exercises
+    multihost.initialize(), host_local_state sharded init, a sharded MH
+    run, and a cross-process diagnostics reduction. Each worker also
+    replays the run unsharded and checks its locally-owned rows match
+    (see tests/multihost_worker.py)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(port)],
+            cwd=os.path.dirname(os.path.dirname(worker)),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i}: OK" in out
+
+
 def test_shard_chains_layout():
     mesh = chain_mesh()
     x = jnp.zeros((32, 4))
