@@ -5,8 +5,16 @@ and enable continuing runs", /root/reference/src/core.rs:134,
 /root/reference/src/nuts.rs:524). Here the entire sampler state — positions,
 cached log densities/gradients, adaptation state (NUTS dual averaging),
 PRNG key, and streaming tracker moments — is a pytree, so checkpointing is
-structural: serialize leaves with orbax when available, else a plain
-``.npz`` + structure pickle fallback (no extra dependencies).
+structural: leaves are serialized with orbax (``<path>.orbax`` directory,
+the default when orbax is importable) or as a plain ``.npz`` (the
+``backend="npz"`` fallback, no extra dependencies); the pytree structure is
+pickled alongside either way. ``load_checkpoint`` auto-detects the format.
+
+Checkpoints are mesh-portable: leaves are gathered to host at save time, so
+a state saved from a run sharded over N devices restores onto any other
+mesh size — re-shard the restored state with
+``parallel.shard_sampler_state`` (or pass ``mesh=`` to
+:func:`restore_sampler`).
 """
 
 from __future__ import annotations
@@ -20,49 +28,91 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _orbax():
+    try:
+        import orbax.checkpoint as ocp
+
+        return ocp
+    except Exception:  # pragma: no cover - orbax is normally available
+        return None
+
+
 def _tree_to_host(tree: Any):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_checkpoint(path: str, state: Any, key: jax.Array | None = None) -> None:
+def save_checkpoint(path: str, state: Any, key: jax.Array | None = None,
+                    *, backend: str = "auto") -> None:
     """Save a sampler state pytree (and optionally the PRNG key) to ``path``.
 
-    Writes ``<path>.npz`` (leaf arrays) plus ``<path>.tree`` (pytree
-    structure). Works for any of the framework's state pytrees.
+    ``backend``: ``"auto"`` (orbax when importable, else npz), ``"orbax"``
+    (require orbax), or ``"npz"``. Either way the pytree structure is
+    written to ``<path>.tree``; leaves go to ``<path>.orbax/`` (an orbax
+    checkpoint directory) or ``<path>.npz``. Works for any of the
+    framework's state pytrees; sharded leaves are gathered to host first,
+    so the checkpoint is independent of the saving run's mesh.
     """
+    if backend not in ("auto", "orbax", "npz"):
+        raise ValueError(f"unknown checkpoint backend {backend!r}")
+    ocp = _orbax() if backend in ("auto", "orbax") else None
+    if backend == "orbax" and ocp is None:
+        raise RuntimeError("backend='orbax' requested but orbax is not "
+                           "importable")
     payload = {"state": state}
     if key is not None:
         payload["key"] = key
     leaves, treedef = jax.tree_util.tree_flatten(_tree_to_host(payload))
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path + ".npz", *leaves)
     with open(path + ".tree", "wb") as f:
         pickle.dump(treedef, f)
+    if ocp is not None:
+        # flat zero-padded names keep restore order == flatten order
+        named = {f"leaf_{i:05d}": leaf for i, leaf in enumerate(leaves)}
+        ocp.PyTreeCheckpointer().save(
+            os.path.abspath(path) + ".orbax", named, force=True
+        )
+    else:
+        np.savez(path + ".npz", *leaves)
 
 
 def load_checkpoint(path: str):
-    """Load a checkpoint saved by :func:`save_checkpoint`.
+    """Load a checkpoint saved by :func:`save_checkpoint` (either backend;
+    the on-disk format is auto-detected).
 
     Returns ``(state, key)`` where ``key`` is ``None`` if it was not saved.
-    Arrays come back as device arrays (committed to the default device).
+    Arrays come back as device arrays (committed to the default device);
+    re-shard with ``parallel.shard_sampler_state`` to place them on a mesh.
     """
     with open(path + ".tree", "rb") as f:
         treedef = pickle.load(f)
-    with np.load(path + ".npz") as data:
-        leaves = [data[k] for k in data.files]
+    orbax_dir = os.path.abspath(path) + ".orbax"
+    if os.path.isdir(orbax_dir):
+        ocp = _orbax()
+        if ocp is None:
+            raise RuntimeError(f"checkpoint {path} is in orbax format but "
+                               "orbax is not importable")
+        named = ocp.PyTreeCheckpointer().restore(orbax_dir)
+        leaves = [named[k] for k in sorted(named)]
+    else:
+        with np.load(path + ".npz") as data:
+            leaves = [data[k] for k in data.files]
     payload = jax.tree_util.tree_unflatten(treedef, leaves)
     payload = jax.tree_util.tree_map(jnp.asarray, payload)
     return payload["state"], payload.get("key")
 
 
-def save_sampler(path: str, sampler) -> None:
+def save_sampler(path: str, sampler, *, backend: str = "auto") -> None:
     """Checkpoint a wrapper sampler (state pytree + PRNG key)."""
-    save_checkpoint(path, sampler.state, sampler._key)
+    save_checkpoint(path, sampler.state, sampler._key, backend=backend)
 
 
-def restore_sampler(path: str, sampler):
+def restore_sampler(path: str, sampler, *, mesh=None):
     """Restore state + key into an existing wrapper sampler (constructed
     with the same configuration). Returns the sampler.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — shard the restored state's
+    chains axis over it (checkpoints are mesh-portable: the saving run's
+    device count does not need to match).
 
     Raises ``ValueError`` when the checkpointed shapes don't match the
     sampler's (different n_chains/dim/algorithm)."""
@@ -78,6 +128,10 @@ def restore_sampler(path: str, sampler):
         return jnp.asarray(new, ref.dtype)
 
     sampler.state = jax.tree_util.tree_map(check_and_cast, sampler.state, state)
+    if mesh is not None:
+        from .parallel import shard_sampler_state
+
+        sampler.state = shard_sampler_state(mesh, sampler.state)
     if key is not None:
         sampler._key = key
     return sampler
