@@ -41,6 +41,7 @@ def hmc_kernel(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     jitter: float = 0.0,
+    steps_per_call: int = 1,
 ):
     """Build ``(init_fn, step_fn)`` for batched HMC.
 
@@ -62,9 +63,22 @@ def hmc_kernel(
     fixed-(eps, L) periodicity; the reference has no jitter). The factor is
     drawn independently of the state, so detailed balance is preserved.
     With jitter == 0 the PRNG stream is identical to the unjittered kernel.
+
+    ``steps_per_call`` > 1 additionally attaches a K-step block function to
+    the returned ``step_fn`` (``step_fn.block_fn``, ``step_fn.block_size``):
+    ``block_fn(state, key) -> (state, rows [K, C, D])`` advances K full
+    sampler steps and returns every intermediate position. With
+    ``use_pallas == "full"`` the whole block runs inside ONE Pallas kernel,
+    amortizing the ~40 us per-step fixed cost (kernel entry + layout
+    round-trips + scan glue) K ways; otherwise the block is an XLA scan
+    over K steps (no speedup, but the same contract — used to test the
+    block plumbing off-TPU). Use with ``runner.make_block_runner``.
     """
+    if steps_per_call < 1:
+        raise ValueError(f"steps_per_call must be >= 1, got {steps_per_call}")
     pallas_traj = None
     pallas_full = None
+    pallas_multistep = None
     if use_pallas:
         if target.logp_dc is None or target.grad_dc is None:
             raise ValueError(
@@ -82,6 +96,17 @@ def hmc_kernel(
                 n_leapfrog,
                 interpret=pallas_interpret,
             )
+            if steps_per_call > 1:
+                from .pallas.hmc_full import make_pallas_hmc_multistep
+
+                pallas_multistep = make_pallas_hmc_multistep(
+                    target.grad_dc,
+                    target.logp_dc,
+                    step_size,
+                    n_leapfrog,
+                    steps_per_call,
+                    interpret=pallas_interpret,
+                )
         else:
             from .pallas.hmc import make_pallas_leapfrog
 
@@ -167,5 +192,41 @@ def hmc_kernel(
         logp = jnp.where(accept, logp_prop, state.logp)
         grad = jnp.where(accept[:, None], grad_prop, state.grad)
         return HMCState(positions=positions, logp=logp, grad=grad)
+
+    if steps_per_call > 1:
+        k = steps_per_call
+
+        def _eps_block(key: jax.Array, dtype):
+            if jitter > 0.0:
+                key_eps = jax.random.fold_in(key, 2)
+                factors = 1.0 + jitter * (
+                    2.0 * jax.random.uniform(key_eps, (k,), dtype) - 1.0
+                )
+                return jnp.asarray(step_size, dtype) * factors
+            return jnp.full((k,), step_size, dtype)
+
+        if pallas_multistep is not None:
+
+            def block_fn(state: HMCState, key: jax.Array):
+                dtype = state.positions.dtype
+                seed = (
+                    jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
+                )
+                positions, logp, grad, rows = pallas_multistep(
+                    state.positions, state.logp, state.grad, seed,
+                    _eps_block(key, dtype),
+                )
+                return HMCState(positions, logp, grad), rows
+        else:
+
+            def block_fn(state: HMCState, key: jax.Array):
+                def body(carry, sub):
+                    carry = step_fn(carry, sub)
+                    return carry, carry.positions
+
+                return lax.scan(body, state, jax.random.split(key, k))
+
+        step_fn.block_fn = block_fn
+        step_fn.block_size = k
 
     return init_fn, step_fn

@@ -175,3 +175,142 @@ def make_pallas_hmc_step(
         )
 
     return step
+
+
+def make_pallas_hmc_multistep(
+    grad_dc,
+    logp_dc,
+    step_size: float,
+    n_leapfrog: int,
+    k_steps: int,
+    *,
+    block_c: int = 8192,
+    interpret: bool = False,
+):
+    """K fused sampler steps per kernel invocation.
+
+    The single-step kernel's cost at the north-star config is dominated by
+    a ~40-48 us per-step fixed overhead (scan-iteration glue, layout
+    round-trips, kernel entry) — the L leapfrogs themselves are nearly
+    free (measured v5e: 44 us/step at L=96 vs 59 us at L=384). Running K
+    full HMC updates (momentum refresh + trajectory + accept, the
+    hmc.rs:304-377 step) inside ONE kernel amortizes that fixed cost K
+    ways. Every accepted position is still recorded: the kernel writes a
+    ``[K, C, D]`` history (one row per sampler step), so the sample cube
+    and its ESS semantics are identical to K separate steps.
+
+    Returns ``step(pos [C, D], logp [C], grad [C, D], seed int32[2],
+    eps [K]) -> (pos', logp', grad', hist [K, C, D])``. ``eps`` carries the
+    per-step (possibly jittered) step sizes. The hardware-PRNG stream runs
+    sequentially across the K steps, deterministic per (seed, block).
+    """
+    if k_steps < 1:
+        raise ValueError(f"k_steps must be >= 1, got {k_steps}")
+
+    def kernel(seed_ref, eps_ref, pos_ref, logp_ref, grad_ref,
+               pos_out, logp_out, grad_out, hist_out):
+        pltpu.prng_seed(
+            seed_ref[0] + pl.program_id(0) * jnp.int32(0x27D4EB2F),
+            seed_ref[1],
+        )
+        pos0 = pos_ref[:]
+        grad0 = grad_ref[:]
+        logp0 = logp_ref[:]
+
+        def one_step(k, carry):
+            pos_c, logp_c, grad_c = carry
+            eps = eps_ref[k]
+            half_eps = eps * 0.5
+
+            mom = _normals(pos_c.shape)
+            h_cur = -logp_c + 0.5 * jnp.sum(mom * mom, axis=0)
+
+            def body(_, lf):
+                pos, mom, grad = lf
+                mom = mom + grad * half_eps
+                pos = pos + mom * eps
+                grad = grad_dc(pos)
+                mom = mom + grad * half_eps
+                return pos, mom, grad
+
+            pos, mom, grad = lax.fori_loop(
+                0, n_leapfrog, body, (pos_c, mom, grad_c), unroll=True
+            )
+
+            logp = logp_dc(pos)
+            h_prop = -logp + 0.5 * jnp.sum(mom * mom, axis=0)
+            u = _bits_to_unit_open(
+                pltpu.bitcast(pltpu.prng_random_bits(h_prop.shape),
+                              jnp.uint32)
+            )
+            accept = (h_cur - h_prop) >= jnp.log(u)
+
+            pos_c = jnp.where(accept[None], pos, pos_c)
+            grad_c = jnp.where(accept[None], grad, grad_c)
+            logp_c = jnp.where(accept, logp, logp_c)
+            hist_out[pl.ds(k, 1)] = pos_c[None]
+            return pos_c, logp_c, grad_c
+
+        pos_f, logp_f, grad_f = lax.fori_loop(
+            0, k_steps, one_step, (pos0, logp0, grad0)
+        )
+        pos_out[:] = pos_f
+        logp_out[:] = logp_f
+        grad_out[:] = grad_f
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(pos_cd, logp_c, grad_cd, seed, eps_k):
+        c, d = pos_cd.shape
+        dtype = pos_cd.dtype
+        bc = min(block_c, c)
+        if c % bc or bc % 1024:
+            raise ValueError(
+                f"n_chains={c} must be a multiple of block_c={bc} and 1024"
+            )
+        grid = (c // bc,)
+        shape3 = (d, 8, c // 8)
+        bc8 = bc // 8
+
+        pos_p = pos_cd.T.reshape(shape3)
+        grad_p = grad_cd.T.reshape(shape3)
+        logp_p = logp_c.reshape(8, c // 8)
+
+        seed_arr = jnp.asarray(seed, jnp.int32).reshape(2)
+        eps_arr = jnp.asarray(eps_k, dtype).reshape(k_steps)
+
+        dc_spec = pl.BlockSpec((d, 8, bc8), lambda i: (0, 0, i))
+        lp_spec = pl.BlockSpec((8, bc8), lambda i: (0, i))
+        hist_spec = pl.BlockSpec((k_steps, d, 8, bc8),
+                                 lambda i: (0, 0, 0, i))
+        if interpret:
+            seed_spec = pl.BlockSpec((2,), lambda i: (0,))
+            s_spec = pl.BlockSpec((k_steps,), lambda i: (0,))
+        else:
+            seed_spec = pl.BlockSpec((2,), lambda i: (0,),
+                                     memory_space=pltpu.SMEM)
+            s_spec = pl.BlockSpec((k_steps,), lambda i: (0,),
+                                  memory_space=pltpu.SMEM)
+
+        pos_o, logp_o, grad_o, hist_o = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[seed_spec, s_spec, dc_spec, lp_spec, dc_spec],
+            out_specs=(dc_spec, lp_spec, dc_spec, hist_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct(shape3, dtype),
+                jax.ShapeDtypeStruct((8, c // 8), dtype),
+                jax.ShapeDtypeStruct(shape3, dtype),
+                jax.ShapeDtypeStruct((k_steps,) + shape3, dtype),
+            ),
+            interpret=interpret,
+        )(seed_arr, eps_arr, pos_p, logp_p, grad_p)
+
+        hist = jnp.swapaxes(hist_o.reshape(k_steps, d, c), 1, 2)
+        return (
+            pos_o.reshape(d, c).T,
+            logp_o.reshape(c),
+            grad_o.reshape(d, c).T,
+            hist,
+        )
+
+    return step

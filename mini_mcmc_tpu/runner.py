@@ -109,6 +109,75 @@ def make_simple_runner(
     return run
 
 
+def make_block_runner(
+    block_fn: Callable,
+    block_size: int,
+    tracker_update: Optional[Callable] = None,
+):
+    """Compile a runner over K-step block kernels (same collection
+    convention as :func:`make_simple_runner`).
+
+    ``block_fn(state, key) -> (state, rows [K, C, D])`` advances K sampler
+    steps per call and returns every intermediate position (e.g. the fused
+    multi-step Pallas HMC kernel, ``ops/pallas/hmc_full.py``), so the
+    sample cube is identical in meaning to the per-step runner's —
+    recording is NOT thinned. ``n_collect`` and ``n_discard`` must be
+    multiples of ``block_size``.
+    """
+    k = block_size
+
+    def _update_tracker(tracker, rows):
+        if tracker_update is None or tracker is None:
+            return tracker
+        for i in range(k):  # static unroll; tracker folds row-by-row
+            tracker = tracker_update(tracker, rows[i])
+        return tracker
+
+    def discard_phase(state, tracker, key, n_discard: int):
+        if n_discard == 0:
+            return state, tracker
+
+        def body(carry, block_key):
+            state, tracker = carry
+            state, rows = block_fn(state, block_key)
+            return (state, _update_tracker(tracker, rows)), None
+
+        block_keys = jax.random.split(key, n_discard // k)
+        (state, tracker), _ = lax.scan(body, (state, tracker), block_keys)
+        return state, tracker
+
+    def collect_phase(state, tracker, key, n_collect: int):
+        def body(carry, block_key):
+            state, tracker = carry
+            state, rows = block_fn(state, block_key)
+            return (state, _update_tracker(tracker, rows)), rows
+
+        block_keys = jax.random.split(key, n_collect // k)
+        (state, tracker), ys = lax.scan(body, (state, tracker), block_keys)
+        return state, tracker, ys  # [blocks, K, C, D]
+
+    @partial(
+        jax.jit,
+        static_argnames=("n_collect", "n_discard"),
+        donate_argnames=("state",),
+    )
+    def run(state, key, n_collect: int, n_discard: int, tracker=None):
+        if n_collect % k or n_discard % k:
+            raise ValueError(
+                f"n_collect={n_collect} and n_discard={n_discard} must be "
+                f"multiples of the block size {k}"
+            )
+        key_discard, key_collect = jax.random.split(key)
+        state, tracker = discard_phase(state, tracker, key_discard, n_discard)
+        state, tracker, ys = collect_phase(state, tracker, key_collect,
+                                           n_collect)
+        # [blocks, K, C, D] -> [n_collect, C, D] -> [C, n_collect, D]
+        sample = jnp.swapaxes(ys.reshape((-1,) + ys.shape[2:]), 0, 1)
+        return state, sample, tracker
+
+    return run
+
+
 def make_initial_recording_runner(
     step_fn: Callable,
     positions_of: Callable = _default_positions_of,

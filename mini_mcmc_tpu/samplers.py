@@ -58,9 +58,27 @@ class _KernelSampler:
         self.state = init_fn(initial_positions)
         self._step_fn = step_fn
         self._key = _fresh_key(seed)
-        self._runner = make_simple_runner(
-            step_fn, tracker_update=stats_mod.tracker_update
-        )
+        block_fn = getattr(step_fn, "block_fn", None)
+        if block_fn is not None:
+            # K fused sampler steps per kernel call (ops/hmc.py
+            # steps_per_call); run() lengths must be multiples of K.
+            from .runner import make_block_runner
+
+            self._runner = make_block_runner(
+                block_fn, step_fn.block_size,
+                tracker_update=stats_mod.tracker_update,
+            )
+            # run_progress chunks at arbitrary sizes; it drives the
+            # per-step runner instead (progress is interactive tooling —
+            # the block kernel's throughput edge doesn't matter there).
+            self._progress_runner = make_simple_runner(
+                step_fn, tracker_update=stats_mod.tracker_update
+            )
+        else:
+            self._runner = make_simple_runner(
+                step_fn, tracker_update=stats_mod.tracker_update
+            )
+            self._progress_runner = self._runner
 
     # -- seeding -----------------------------------------------------------
     def seed(self, seed: int):
@@ -104,7 +122,7 @@ class _KernelSampler:
         :class:`~mini_mcmc_tpu.stats.RunStats`. ``stream`` overrides the
         output stream (default stderr)."""
         self.state, sample = progress_run(
-            self._runner,
+            self._progress_runner,
             self.state,
             self._next_key(),
             n_collect,
@@ -148,14 +166,16 @@ class HMC(_KernelSampler):
     def __init__(self, target: Target, initial_positions, step_size: float,
                  n_leapfrog: int, seed: Optional[int] = None,
                  unroll: int = 8, use_pallas: bool = False,
-                 pallas_interpret: bool = False, jitter: float = 0.0):
+                 pallas_interpret: bool = False, jitter: float = 0.0,
+                 steps_per_call: int = 1):
         self.target = target
         self.step_size = step_size
         self.n_leapfrog = n_leapfrog
         init_fn, step_fn = hmc_kernel(target, step_size, n_leapfrog,
                                       unroll=unroll, use_pallas=use_pallas,
                                       pallas_interpret=pallas_interpret,
-                                      jitter=jitter)
+                                      jitter=jitter,
+                                      steps_per_call=steps_per_call)
         super().__init__(init_fn, step_fn, initial_positions, seed)
 
 

@@ -42,7 +42,8 @@ pytestmark = pytest.mark.slow
 
 def _sync(x):
     jax.block_until_ready(x)
-    _ = float(jnp.sum(jnp.asarray(x).ravel()[-1:]))
+    x = jnp.asarray(x)
+    _ = float(x[tuple(d - 1 for d in x.shape)])
     return x
 
 
@@ -72,7 +73,7 @@ def test_mh_ess_quality_band():
     target = gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
     proposal = isotropic_gaussian_proposal(1.0)
     ess_runs = []
-    for rep in range(50):
+    for rep in range(100):
         mh = MetropolisHastings(target, proposal, init_det(3, 2)).seed(rep)
         sample = mh.run(1000, 500)
         _, ess = split_rhat_mean_ess(sample)
@@ -90,7 +91,7 @@ def test_hmc_quality_bands():
     # (hmc.rs:764-787).
     target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
     rhats, esss = [], []
-    for rep in range(50):
+    for rep in range(100):
         hmc = HMC(target, init_det(3, 2), 0.1, 10).seed(rep)
         sample = hmc.run(1000, 500)
         rhat, ess = split_rhat_mean_ess(sample)

@@ -101,3 +101,68 @@ def test_hmc_determinism_and_continuation():
     a = HMC(target, init_det(4, 3), 0.03, 10).seed(5).run(50, 10)
     b = HMC(target, init_det(4, 3), 0.03, 10).seed(5).run(50, 10)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_hmc_block_runner_matches_block_fn():
+    # the K-step block runner must reproduce exactly what the block
+    # function computes, with the same key schedule
+    from mini_mcmc_tpu.ops.hmc import hmc_kernel
+    from mini_mcmc_tpu.runner import make_block_runner
+
+    target = rosenbrock_nd()
+    init_fn, step_fn = hmc_kernel(target, 0.03, 5, steps_per_call=4)
+    assert step_fn.block_size == 4
+    state = init_fn(init_det(8, 3))
+    runner = make_block_runner(step_fn.block_fn, 4)
+    key = jax.random.PRNGKey(7)
+    out_state, sample, _ = runner(state, key, 8, 4)
+
+    # replay by hand: discard phase (1 block), collect phase (2 blocks)
+    state2 = init_fn(init_det(8, 3))
+    kd, kc = jax.random.split(key)
+    (bk,) = jax.random.split(kd, 1)
+    state2, _ = step_fn.block_fn(state2, bk)
+    rows = []
+    for bk in jax.random.split(kc, 2):
+        state2, r = step_fn.block_fn(state2, bk)
+        rows.append(r)
+    expect = jnp.swapaxes(jnp.concatenate(rows, axis=0), 0, 1)
+    np.testing.assert_array_equal(np.asarray(sample), np.asarray(expect))
+    np.testing.assert_array_equal(
+        np.asarray(out_state.positions), np.asarray(state2.positions)
+    )
+
+
+def test_hmc_steps_per_call_statistics_and_validation():
+    import pytest
+
+    target = standard_normal()
+    blk = HMC(target, init_det(64, 2), 0.3, 8, steps_per_call=4,
+              jitter=0.2).seed(3)
+    sample = blk.run(400, 100)
+    assert sample.shape == (64, 400, 2)
+    flat = np.asarray(sample).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 0.0], atol=0.1)
+    np.testing.assert_allclose(flat.var(axis=0), [1.0, 1.0], atol=0.15)
+
+    with pytest.raises(ValueError, match="multiples of the block size"):
+        blk.run(10, 0)  # 10 % 4 != 0
+
+
+def test_hmc_block_tracker_updates_per_row():
+    from mini_mcmc_tpu import stats as S
+    from mini_mcmc_tpu.ops.hmc import hmc_kernel
+    from mini_mcmc_tpu.runner import make_block_runner
+
+    target = standard_normal()
+    init_fn, step_fn = hmc_kernel(target, 0.3, 8, steps_per_call=4)
+    runner = make_block_runner(step_fn.block_fn, 4,
+                               tracker_update=S.tracker_update)
+    tracker = S.tracker_init(16, 2)
+    state, sample, tracker = runner(
+        init_fn(init_det(16, 2)), jax.random.PRNGKey(0), 40, 0,
+        tracker=tracker,
+    )
+    # the tracker saw all 40 rows, not 10 block-ends
+    assert int(tracker.n) == 40
+    assert 0.0 < float(tracker.p_accept) <= 1.0
