@@ -43,12 +43,18 @@ from mini_mcmc_tpu.models import diffable_gaussian2d, rosenbrock_nd
 
 N_CHAINS = 8192
 DIM = 3
-STEP_SIZE = 0.015
+STEP_SIZE = 0.02
 N_LEAPFROG = 192
 N_COLLECT = 8192  # burn-in happens via a first (discarded) collect run
 JITTER = 0.3  # per-step step-size jitter: fixed (eps, L) resonances make
 # ESS wildly seed-dependent on Rosenbrock; jitter stabilizes ESS to ~1%
 # across seeds (Neal 2011)
+# K sampler steps fused per kernel call: amortizes the per-step fixed cost
+# (kernel entry + layout round-trips + scan glue). Swept on v5e 2026-08:
+# K=16 optimal (+22% over K=1; K=32 regresses on VMEM pressure), and with
+# the fixed cost amortized the (eps, L) optimum moved from (0.015, 192) to
+# (0.02, 192) — trajectory ~3.8, ESS/draw 0.56, 1.67e8 ESS/s in-session.
+STEPS_PER_CALL = 16
 BASELINE_ESS_PER_SEC = 1.0e6
 
 # Ground truth for the Rosenbrock3D x0 marginal, by 1-D quadrature:
@@ -91,7 +97,8 @@ def bench_hmc_flagship() -> dict:
     # Start near the mode plateau for fast equilibration.
     init = init_with_seed(N_CHAINS, DIM, seed=42) * 0.5 + 1.0
     hmc = HMC(target, init, STEP_SIZE, N_LEAPFROG,
-              use_pallas=use_pallas, jitter=JITTER).seed(42)
+              use_pallas=use_pallas, jitter=JITTER,
+              steps_per_call=STEPS_PER_CALL).seed(42)
 
     # Burn-in with the SAME (n_collect, n_discard) signature as the timed
     # run: exactly one program is compiled (remote compiles dominate wall
@@ -125,7 +132,7 @@ def bench_hmc_flagship() -> dict:
         "ess_per_sec": ess_mean / elapsed,
         "config": f"Rosenbrock3D HMC, {N_CHAINS} chains, "
         f"L={N_LEAPFROG}, eps={STEP_SIZE}+-{JITTER * 100:.0f}%, "
-        f"{N_COLLECT} draws",
+        f"{N_COLLECT} draws, {STEPS_PER_CALL} steps/kernel",
         "elapsed_s": elapsed,
         "sampler_steps_per_sec": steps_per_sec,
         "draws_per_sec": steps_per_sec * N_CHAINS,
@@ -142,9 +149,15 @@ def bench_hmc_flagship() -> dict:
 
 
 def bench_nuts() -> dict:
+    from mini_mcmc_tpu.ops.pallas import pallas_available
+
+    # Fused Pallas subtree kernel: 2.0x ESS/s over the XLA tree on this
+    # config (measured v5e, 2026-08: 2.77e7 vs 1.40e7, identical ESS/rhat);
+    # statistically validated by the gates below + tests/test_tpu_parity.py.
+    use_pallas = bool(pallas_available())
     target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
     init = init_with_seed(NUTS_CHAINS, 2, seed=7)
-    nuts = NUTS(target, init, 0.8).seed(7)
+    nuts = NUTS(target, init, 0.8, use_pallas=use_pallas).seed(7)
 
     # First call: epsilon search + dual-averaging adaptation (and the one
     # remote compile). Second call re-uses the compiled program at the
@@ -184,6 +197,7 @@ def bench_nuts() -> dict:
         "rhat_mean": rhat_mean,
         "divergences": int(jnp.sum(nuts.divergences)),
         "quality_gate": "passed",
+        "fused_pallas_subtree": str(use_pallas),
     }
 
 
