@@ -73,19 +73,13 @@ NUTS_MEAN = (0.0, 1.0)
 NUTS_VAR = (4.0, 3.0)
 
 
-def _sync(x):
-    x = jnp.asarray(x)
-    jax.block_until_ready(x)
-    # Force completion across async/remote dispatch with a scalar fetch.
-    # Index ONE element (never ravel/copy the cube: a tiled device copy
-    # pads the minor dim to the 128-lane register width — a [C, N, 3] f32
-    # cube becomes a 42x larger allocation and OOMs HBM).
-    _ = float(x[tuple(d - 1 for d in x.shape)])
-    return x
+from mini_mcmc_tpu.utils.profiling import sync as _sync  # noqa: E402
 
 
 def _gate(name, ok, info):
-    assert ok, f"quality gate FAILED [{name}]: {info}"
+    # explicit raise, not `assert`: the gates must survive `python -O`
+    if not ok:
+        raise AssertionError(f"quality gate FAILED [{name}]: {info}")
 
 
 def bench_hmc_flagship() -> dict:
@@ -233,7 +227,9 @@ def bench_extras() -> dict:
     out["poisson_mh_65k"] = {
         "config": "Poisson(4) discrete MH, 65536 chains, 200+100 draws",
         "elapsed_s": elapsed,
-        "draws_per_sec": 65536 * 299 / elapsed,
+        # run(200, 100) takes exactly 300 sampler steps (the MH simple
+        # runner's convention; runner.py) -> 300 draws per chain
+        "draws_per_sec": 65536 * 300 / elapsed,
         "pmf_max_abs_err": max_err,
         "quality_gate": "passed",
     }

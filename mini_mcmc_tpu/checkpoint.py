@@ -37,8 +37,20 @@ def _orbax():
         return None
 
 
+def _leaf_to_host(x):
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # Multi-process mesh: this process only holds its shards, and
+        # np.asarray on a span-non-addressable array raises. Gather the
+        # global value across processes first (every process then writes
+        # an identical full checkpoint).
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
+
+
 def _tree_to_host(tree: Any):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    return jax.tree_util.tree_map(_leaf_to_host, tree)
 
 
 def save_checkpoint(path: str, state: Any, key: jax.Array | None = None,
@@ -65,14 +77,25 @@ def save_checkpoint(path: str, state: Any, key: jax.Array | None = None,
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path + ".tree", "wb") as f:
         pickle.dump(treedef, f)
+    # Remove the other format's artifact: load_checkpoint auto-detects by
+    # looking for <path>.orbax first, so a leftover directory from an
+    # earlier save would otherwise shadow a newer .npz (and vice versa the
+    # stale .npz would be picked up if the .orbax dir were later removed).
     if ocp is not None:
         # flat zero-padded names keep restore order == flatten order
         named = {f"leaf_{i:05d}": leaf for i, leaf in enumerate(leaves)}
         ocp.PyTreeCheckpointer().save(
             os.path.abspath(path) + ".orbax", named, force=True
         )
+        if os.path.exists(path + ".npz"):
+            os.remove(path + ".npz")
     else:
         np.savez(path + ".npz", *leaves)
+        orbax_dir = os.path.abspath(path) + ".orbax"
+        if os.path.isdir(orbax_dir):
+            import shutil
+
+            shutil.rmtree(orbax_dir)
 
 
 def load_checkpoint(path: str):

@@ -77,102 +77,21 @@ def make_pallas_hmc_step(
     -> (pos' [C, D], logp' [C], grad' [C, D])``. ``eps`` is the (possibly
     jittered) runtime step size; ``seed`` is the full 64-bit step key as two
     int32 scalars.
+
+    Implemented as the K=1 case of :func:`make_pallas_hmc_multistep` with
+    the per-step history output dropped — the hardware-PRNG stream is
+    identical (same seeding, same draw order), so there is exactly one
+    kernel body to maintain.
     """
+    multi = make_pallas_hmc_multistep(
+        grad_dc, logp_dc, step_size, n_leapfrog, 1,
+        block_c=block_c, interpret=interpret,
+    )
 
-    def kernel(seed_ref, eps_ref, pos_ref, logp_ref, grad_ref,
-               pos_out, logp_out, grad_out):
-        # full 64-bit step key (two scalars; Mosaic caps prng_seed at two
-        # values) — xor-folding to 32 bits would birthday-collide after
-        # ~2^16 steps and replay noise. The block id is mixed into word 0.
-        pltpu.prng_seed(
-            seed_ref[0] + pl.program_id(0) * jnp.int32(0x27D4EB2F),
-            seed_ref[1],
-        )
-        eps = eps_ref[0]
-        half_eps = eps * 0.5
-
-        pos0 = pos_ref[:]
-        grad0 = grad_ref[:]
-        logp0 = logp_ref[:]
-
-        mom = _normals(pos0.shape)
-        ke_cur = 0.5 * jnp.sum(mom * mom, axis=0)
-        h_cur = -logp0 + ke_cur
-
-        def body(_, carry):
-            pos, mom, grad = carry
-            mom = mom + grad * half_eps
-            pos = pos + mom * eps
-            grad = grad_dc(pos)
-            mom = mom + grad * half_eps
-            return pos, mom, grad
-
-        pos, mom, grad = lax.fori_loop(
-            0, n_leapfrog, body, (pos0, mom, grad0), unroll=True
-        )
-
-        logp = logp_dc(pos)
-        ke_prop = 0.5 * jnp.sum(mom * mom, axis=0)
-        h_prop = -logp + ke_prop
-
-        u = _bits_to_unit_open(
-            pltpu.bitcast(pltpu.prng_random_bits(h_prop.shape), jnp.uint32)
-        )
-        accept = (h_cur - h_prop) >= jnp.log(u)
-
-        pos_out[:] = jnp.where(accept[None], pos, pos0)
-        grad_out[:] = jnp.where(accept[None], grad, grad0)
-        logp_out[:] = jnp.where(accept, logp, logp0)
-
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def step(pos_cd, logp_c, grad_cd, seed, eps):
-        c, d = pos_cd.shape
-        dtype = pos_cd.dtype
-        bc = min(block_c, c)
-        if c % bc or bc % 1024:
-            raise ValueError(
-                f"n_chains={c} must be a multiple of block_c={bc} and 1024"
-            )
-        grid = (c // bc,)
-        shape3 = (d, 8, c // 8)
-        bc8 = bc // 8
-
-        pos_p = pos_cd.T.reshape(shape3)
-        grad_p = grad_cd.T.reshape(shape3)
-        logp_p = logp_c.reshape(8, c // 8)
-
-        seed_arr = jnp.asarray(seed, jnp.int32).reshape(2)
-        eps_arr = jnp.asarray(eps, dtype).reshape(1)
-
-        dc_spec = pl.BlockSpec((d, 8, bc8), lambda i: (0, 0, i))
-        lp_spec = pl.BlockSpec((8, bc8), lambda i: (0, i))
-        if interpret:
-            seed_spec = pl.BlockSpec((2,), lambda i: (0,))
-            s_spec = pl.BlockSpec((1,), lambda i: (0,))
-        else:
-            seed_spec = pl.BlockSpec((2,), lambda i: (0,),
-                                     memory_space=pltpu.SMEM)
-            s_spec = pl.BlockSpec((1,), lambda i: (0,),
-                                  memory_space=pltpu.SMEM)
-
-        pos_o, logp_o, grad_o = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[seed_spec, s_spec, dc_spec, lp_spec, dc_spec],
-            out_specs=(dc_spec, lp_spec, dc_spec),
-            out_shape=(
-                jax.ShapeDtypeStruct(shape3, dtype),
-                jax.ShapeDtypeStruct((8, c // 8), dtype),
-                jax.ShapeDtypeStruct(shape3, dtype),
-            ),
-            interpret=interpret,
-        )(seed_arr, eps_arr, pos_p, logp_p, grad_p)
-
-        return (
-            pos_o.reshape(d, c).T,
-            logp_o.reshape(c),
-            grad_o.reshape(d, c).T,
-        )
+        pos, logp, grad, _hist = multi(pos_cd, logp_c, grad_cd, seed, eps)
+        return pos, logp, grad
 
     return step
 
@@ -209,6 +128,9 @@ def make_pallas_hmc_multistep(
 
     def kernel(seed_ref, eps_ref, pos_ref, logp_ref, grad_ref,
                pos_out, logp_out, grad_out, hist_out):
+        # full 64-bit step key (two scalars; Mosaic caps prng_seed at two
+        # values) — xor-folding to 32 bits would birthday-collide after
+        # ~2^16 steps and replay noise. The block id is mixed into word 0.
         pltpu.prng_seed(
             seed_ref[0] + pl.program_id(0) * jnp.int32(0x27D4EB2F),
             seed_ref[1],

@@ -47,8 +47,8 @@ _TARGET_CHUNKS = 20
 def _bar(done: int, total: int, width: int = 30) -> str:
     frac = done / max(total, 1)
     filled = int(width * frac)
-    return "=" * filled + ">" + "-" * (width - filled) if filled < width \
-        else "=" * width
+    return "=" * filled + ">" + "-" * (width - filled - 1) \
+        if filled < width else "=" * width
 
 
 class _ProgressDisplay:

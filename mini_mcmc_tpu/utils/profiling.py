@@ -30,6 +30,22 @@ def trace(log_dir: str = "/tmp/mini_mcmc_tpu_trace"):
         jax.profiler.stop_trace()
 
 
+def sync(x):
+    """Force ``x`` to full completion and return it (async/remote safe).
+
+    ``block_until_ready`` can return early on tunneled backends; a scalar
+    fetch of ONE element defeats that. Never ravel/copy the array to fetch:
+    a tiled device copy pads the minor dim to the 128-lane register width —
+    a ``[C, N, 3]`` f32 cube becomes a 42x larger allocation and OOMs HBM.
+    """
+    import jax.numpy as jnp
+
+    x = jnp.asarray(x)
+    jax.block_until_ready(x)
+    _ = float(x[tuple(d - 1 for d in x.shape)])
+    return x
+
+
 def step_timer(fn, *args, repeats: int = 3, **kwargs):
     """Median wall-clock of ``fn(*args, **kwargs)`` with full completion
     forced (async/remote dispatch safe). Returns ``(result, seconds)``."""

@@ -36,15 +36,9 @@ from mini_mcmc_tpu.models import (
     isotropic_gaussian_proposal,
     rosenbrock2d,
 )
+from mini_mcmc_tpu.utils.profiling import sync as _sync
 
 pytestmark = pytest.mark.slow
-
-
-def _sync(x):
-    jax.block_until_ready(x)
-    x = jnp.asarray(x)
-    _ = float(x[tuple(d - 1 for d in x.shape)])
-    return x
 
 
 def test_mh_throughput_80m_samples():

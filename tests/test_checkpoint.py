@@ -6,6 +6,7 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
 
 from mini_mcmc_tpu import HMC, NUTS, MetropolisHastings, init_det
 from mini_mcmc_tpu.checkpoint import restore_sampler, save_sampler
@@ -68,13 +69,37 @@ def test_checkpoint_npz_backend_roundtrip():
 
 
 def test_checkpoint_default_backend_is_orbax():
-    # orbax is available in this environment; "auto" must use it
+    # "auto" must use orbax whenever it is importable
+    pytest.importorskip("orbax.checkpoint")
     target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
     proposal = isotropic_gaussian_proposal(1.0)
     with tempfile.TemporaryDirectory() as tmp:
         a = MetropolisHastings(target, proposal, init_det(3, 2)).seed(9)
         save_sampler(_ckpt_path(tmp), a)
         assert os.path.isdir(_ckpt_path(tmp) + ".orbax")
+
+
+def test_checkpoint_resave_removes_other_format():
+    # An orbax save followed by an npz save at the same path must not leave
+    # the stale .orbax directory behind — load_checkpoint prefers .orbax, so
+    # a leftover would silently resume the OLD state.
+    pytest.importorskip("orbax.checkpoint")
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    proposal = isotropic_gaussian_proposal(1.0)
+    with tempfile.TemporaryDirectory() as tmp:
+        a = MetropolisHastings(target, proposal, init_det(3, 2)).seed(9)
+        save_sampler(_ckpt_path(tmp), a, backend="orbax")
+        a.run(20, 0)
+        save_sampler(_ckpt_path(tmp), a, backend="npz")
+        assert not os.path.isdir(_ckpt_path(tmp) + ".orbax")
+        cont_a = a.run(20, 0)
+        b = MetropolisHastings(target, proposal, init_det(3, 2)).seed(0)
+        restore_sampler(_ckpt_path(tmp), b)  # must load the NEWER state
+        cont_b = b.run(20, 0)
+        np.testing.assert_array_equal(np.asarray(cont_a), np.asarray(cont_b))
+        # and the reverse direction: npz shadowed by a later orbax save
+        save_sampler(_ckpt_path(tmp), b, backend="orbax")
+        assert not os.path.exists(_ckpt_path(tmp) + ".npz")
 
 
 def test_checkpoint_restores_across_mesh_sizes():
