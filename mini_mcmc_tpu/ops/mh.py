@@ -27,18 +27,64 @@ class MHState(NamedTuple):
     logp: jax.Array  # [n_chains] cached unnormalized target log density
 
 
-def mh_kernel(target: Target, proposal: Proposal):
+def mh_kernel(target: Target, proposal: Proposal, *,
+              use_pallas=False, steps_per_call: int = 1,
+              pallas_interpret: bool = False):
     """Build ``(init_fn, step_fn)`` for batched MH.
 
     ``init_fn(positions [C, D]) -> MHState``
     ``step_fn(state, key) -> MHState``
+
+    ``use_pallas="full"`` fuses the entire update (hardware-PRNG proposal +
+    target eval + accept) into one on-chip Pallas kernel
+    (``ops/pallas/mh_full.py``): requires ``target.logp_dc`` and a
+    symmetric proposal with ``propose_dc``; distribution-identical to the
+    XLA path on a different (hardware) PRNG stream; TPU-only.
+    ``steps_per_call`` > 1 additionally attaches a K-step block function
+    (``step_fn.block_fn``/``block_size``) fusing K full updates per kernel
+    invocation — the same amortization as the fused HMC blocks
+    (``ops/hmc.py``). All recorded positions are kept; nothing is thinned.
     """
+    if steps_per_call < 1:
+        raise ValueError(f"steps_per_call must be >= 1, got {steps_per_call}")
+    pallas_multistep = None
+    pallas_single = None
+    if use_pallas:
+        if use_pallas != "full":
+            raise ValueError(
+                "MH has no trajectory to fuse separately — the only Pallas "
+                f'variant is use_pallas="full"; got {use_pallas!r}'
+            )
+        if target.logp_dc is None:
+            raise ValueError('use_pallas="full" requires target.logp_dc')
+        if proposal.propose_dc is None or not proposal.symmetric:
+            raise ValueError(
+                'use_pallas="full" requires a symmetric proposal with '
+                "propose_dc (the kernel skips the cancelling q terms)"
+            )
+        from .pallas.mh_full import make_pallas_mh_multistep
+
+        pallas_single = make_pallas_mh_multistep(
+            target.logp_dc, proposal.propose_dc, 1,
+            interpret=pallas_interpret,
+        )
+        if steps_per_call > 1:
+            pallas_multistep = make_pallas_mh_multistep(
+                target.logp_dc, proposal.propose_dc, steps_per_call,
+                interpret=pallas_interpret,
+            )
 
     def init_fn(positions: jax.Array) -> MHState:
         return MHState(positions=positions, logp=target.batch_logp(positions))
 
     def step_fn(state: MHState, key: jax.Array) -> MHState:
         n_chains = state.positions.shape[0]
+        if pallas_single is not None:
+            seed = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
+            positions, logp, _ = pallas_single(
+                state.positions, state.logp, seed
+            )
+            return MHState(positions=positions, logp=logp)
         key_prop, key_u = jax.random.split(key)
 
         if proposal.sample_batch is not None:
@@ -59,5 +105,30 @@ def mh_kernel(target: Target, proposal: Proposal):
         positions = jnp.where(accept[:, None], proposed, state.positions)
         logp = jnp.where(accept, proposed_lp, state.logp)
         return MHState(positions=positions, logp=logp)
+
+    if steps_per_call > 1:
+        k = steps_per_call
+
+        if pallas_multistep is not None:
+
+            def block_fn(state: MHState, key: jax.Array):
+                seed = (
+                    jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
+                )
+                positions, logp, rows = pallas_multistep(
+                    state.positions, state.logp, seed
+                )
+                return MHState(positions, logp), rows
+        else:
+
+            def block_fn(state: MHState, key: jax.Array):
+                def body(carry, sub):
+                    carry = step_fn(carry, sub)
+                    return carry, carry.positions
+
+                return jax.lax.scan(body, state, jax.random.split(key, k))
+
+        step_fn.block_fn = block_fn
+        step_fn.block_size = k
 
     return init_fn, step_fn

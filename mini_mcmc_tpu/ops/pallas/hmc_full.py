@@ -40,26 +40,10 @@ try:
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-_TWO_PI = 6.283185307179586
+from . import rng as _rng
 
-
-def _bits_to_unit_open(bits):
-    """uint32 -> float32 in (0, 1): 24 mantissa-ish bits, never 0.
-
-    Mosaic has no uint32->float cast; the top-24-bit value fits int32.
-    """
-    i24 = (bits >> 8).astype(jnp.int32)
-    return i24.astype(jnp.float32) * (1.0 / 16777216.0) + (1.0 / 33554432.0)
-
-
-def _normals(shape):
-    """Standard normals via Box-Muller from the hardware PRNG."""
-    u1 = _bits_to_unit_open(pltpu.bitcast(pltpu.prng_random_bits(shape),
-                                          jnp.uint32))
-    u2 = _bits_to_unit_open(pltpu.bitcast(pltpu.prng_random_bits(shape),
-                                          jnp.uint32))
-    r = jnp.sqrt(-2.0 * jnp.log(u1))
-    return r * jnp.cos(_TWO_PI * u2)
+_normals = _rng.normals
+_uniform = _rng.uniform
 
 
 def make_pallas_hmc_step(
@@ -161,10 +145,7 @@ def make_pallas_hmc_multistep(
 
             logp = logp_dc(pos)
             h_prop = -logp + 0.5 * jnp.sum(mom * mom, axis=0)
-            u = _bits_to_unit_open(
-                pltpu.bitcast(pltpu.prng_random_bits(h_prop.shape),
-                              jnp.uint32)
-            )
+            u = _uniform(h_prop.shape)
             accept = (h_cur - h_prop) >= jnp.log(u)
 
             pos_c = jnp.where(accept[None], pos, pos_c)

@@ -149,10 +149,14 @@ class MetropolisHastings(_KernelSampler):
     """
 
     def __init__(self, target: Target, proposal: Proposal, initial_positions,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, use_pallas=False,
+                 steps_per_call: int = 1, pallas_interpret: bool = False):
         self.target = target
         self.proposal = proposal
-        init_fn, step_fn = mh_kernel(target, proposal)
+        init_fn, step_fn = mh_kernel(target, proposal,
+                                     use_pallas=use_pallas,
+                                     steps_per_call=steps_per_call,
+                                     pallas_interpret=pallas_interpret)
         super().__init__(init_fn, step_fn, initial_positions, seed)
 
 

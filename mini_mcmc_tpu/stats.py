@@ -326,14 +326,27 @@ def _geyer_tau(rho: jax.Array) -> jax.Array:
     return -1.0 + 2.0 * out
 
 
+#: chains per autocovariance batch: bounds the FFT scratch (complex spectra
+#: are ~4x the input) so huge-chain-count diagnostics don't OOM HBM — only
+#: the chain-MEAN of the autocovariances is ever needed downstream.
+_AUTOCOV_CHUNK = 8192
+
+
 def _ess(splitted: jax.Array, within: jax.Array, var: jax.Array) -> jax.Array:
     """ESS per parameter (stats.rs:496-546). Input ``[2C, n', P]``."""
     n_chains, n_steps = splitted.shape[0], splitted.shape[1]
-    if n_steps <= 100:
-        chain_rho = jax.vmap(autocov_bf)(splitted)  # [2C, n', P]
+    acov = autocov_bf if n_steps <= 100 else autocov_fft
+    if n_chains <= _AUTOCOV_CHUNK:
+        avg_rho = jnp.mean(jax.vmap(acov)(splitted), axis=0)  # [n', P]
     else:
-        chain_rho = jax.vmap(autocov_fft)(splitted)
-    avg_rho = jnp.mean(chain_rho, axis=0)  # [n', P]
+        # accumulate the chain-sum chunk-by-chunk: a [2C, n_pad, P] complex
+        # spectrum for 2C in the tens of thousands is multiple GB
+        acc = jnp.zeros(splitted.shape[1:], jnp.float32)
+        for i in range(0, n_chains, _AUTOCOV_CHUNK):
+            acc = acc + jnp.sum(
+                jax.vmap(acov)(splitted[i : i + _AUTOCOV_CHUNK]), axis=0
+            )
+        avg_rho = acc / n_chains
     rho = 1.0 - (within[None, :] - avg_rho) / var[None, :]
     tau = _geyer_tau(rho)
     return (n_chains * n_steps) / tau

@@ -102,6 +102,83 @@ def test_full_step_kernel_requires_tpu():
         jax.block_until_ready(step(pos, logp, grad, 0, 0.5))
 
 
+def test_mh_use_pallas_validates_requirements():
+    import pytest
+
+    from mini_mcmc_tpu import MetropolisHastings
+    from mini_mcmc_tpu.models import (
+        gaussian2d,
+        gaussian_random_walk_proposal,
+        isotropic_gaussian_proposal,
+        isotropic_gaussian_target,
+    )
+
+    target_dc = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    # target without logp_dc
+    with pytest.raises(ValueError, match="logp_dc"):
+        MetropolisHastings(isotropic_gaussian_target(1.0),
+                           isotropic_gaussian_proposal(1.0),
+                           init_det(2, 2), use_pallas="full")
+    # proposal without propose_dc/symmetric
+    with pytest.raises(ValueError, match="symmetric"):
+        MetropolisHastings(target_dc, gaussian_random_walk_proposal([1., 1.]),
+                           init_det(2, 2), use_pallas="full")
+    # MH has no trajectory-only variant
+    with pytest.raises(ValueError, match="full"):
+        MetropolisHastings(target_dc, isotropic_gaussian_proposal(1.0),
+                           init_det(2, 2), use_pallas=True)
+
+
+def test_mh_full_kernel_requires_tpu():
+    # Same hardware-PRNG limitation as the fused HMC kernel: on CPU the
+    # fused MH path must fail loudly, never silently fall back.
+    import pytest
+
+    from mini_mcmc_tpu import MetropolisHastings
+    from mini_mcmc_tpu.models import gaussian2d, isotropic_gaussian_proposal
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("runs for real on TPU (tests/test_tpu_parity.py)")
+    mh = MetropolisHastings(
+        gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]]),
+        isotropic_gaussian_proposal(1.0),
+        jnp.zeros((1024, 2), jnp.float32),
+        use_pallas="full", pallas_interpret=True,
+    ).seed(0)
+    with pytest.raises(Exception):
+        jax.block_until_ready(mh.run(2, 0))
+
+
+def test_mh_block_fn_contract():
+    # the XLA K-step block (steps_per_call>1 without Pallas) must equal K
+    # applications of step_fn on the block key's K sub-keys, recording
+    # every intermediate position (nothing thinned)
+    from mini_mcmc_tpu.models import gaussian2d, isotropic_gaussian_proposal
+    from mini_mcmc_tpu.ops.mh import mh_kernel
+
+    target = gaussian2d([0.0, 0.0], [[2.0, 0.5], [0.5, 1.0]])
+    init_fn, step_fn = mh_kernel(target, isotropic_gaussian_proposal(1.0),
+                                 steps_per_call=4)
+    state = init_fn(init_det(6, 2))
+    key = jax.random.PRNGKey(3)
+    out_state, rows = step_fn.block_fn(state, key)
+
+    s = state
+    expected = []
+    for sub in jax.random.split(key, 4):
+        s = step_fn(s, sub)
+        expected.append(s.positions)
+    # fp32-ulp tolerance: the block scan and the eager per-step loop fuse
+    # differently under XLA (same draws, same accepts, reassociated adds)
+    np.testing.assert_allclose(
+        np.asarray(rows), np.stack(expected), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_state.positions), np.asarray(expected[-1]),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
 def test_pallas_subtree_matches_xla_on_golden_case():
     # The reference's depth-3 golden case is RNG-free (all slice checks
     # fail), so the fused Pallas subtree must match the XLA batched builder

@@ -173,3 +173,18 @@ def test_run_stats_display():
     rs = S.run_stats(data)
     text = str(rs)
     assert "ESS" in text and "Split R-hat" in text
+
+
+def test_ess_chunked_autocov_matches_unchunked(monkeypatch):
+    # huge-chain-count runs accumulate the mean autocovariance in chunks to
+    # bound FFT scratch memory; the result must match the one-shot path
+    key = jax.random.PRNGKey(0)
+    sample = jax.random.normal(key, (48, 256, 3), jnp.float32)
+    sample = sample + 0.5 * jnp.roll(sample, 1, axis=1)  # correlate draws
+    rhat_full, ess_full = S.split_rhat_mean_ess(sample)
+    monkeypatch.setattr(S, "_AUTOCOV_CHUNK", 16)  # 96 split chains -> 6 chunks
+    rhat_chunk, ess_chunk = S.split_rhat_mean_ess(sample)
+    np.testing.assert_allclose(np.asarray(rhat_chunk),
+                               np.asarray(rhat_full), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ess_chunk),
+                               np.asarray(ess_full), rtol=1e-4)

@@ -64,6 +64,36 @@ for label, kw in [("pallas", {"use_pallas": True}),
     nuts = NUTS(target, init_with_seed(1024, 2, seed=5), 0.8, **kw).seed(5)
     out["nuts_" + label] = summarize(nuts.run(1024, 128))
 
+# Fused MH (ops/pallas/mh_full.py): continuous (isotropic Gaussian walk on
+# the same correlated target, via its unnormalized form) and discrete
+# (+-1 walk on Poisson(4), /root/reference/tests/metrohast_poisson_test.rs).
+import numpy as np
+from mini_mcmc_tpu import MetropolisHastings
+from mini_mcmc_tpu.models import (
+    gaussian2d, isotropic_gaussian_proposal,
+    poisson_target, random_walk_int_proposal,
+)
+
+mh_target = gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+for label, kw in [("pallas", {"use_pallas": "full", "steps_per_call": 16}),
+                  ("xla", {})]:
+    mh = MetropolisHastings(mh_target, isotropic_gaussian_proposal(2.0),
+                            init_with_seed(2048, 2, seed=3), **kw).seed(3)
+    out["mh_" + label] = summarize(mh.run(1024, 512))
+
+pois = MetropolisHastings(
+    poisson_target(4.0), random_walk_int_proposal(),
+    jnp.zeros((8192, 1), jnp.int32),
+    use_pallas="full", steps_per_call=10,
+).seed(42)
+ks = np.asarray(pois.run(200, 100)).ravel()
+lam, pmf_err = 4.0, 0.0
+from scipy.stats import poisson as sp_poisson
+for k in range(11):
+    pmf_err = max(pmf_err,
+                  abs(float(np.mean(ks == k)) - float(sp_poisson.pmf(k, lam))))
+out["poisson_pallas_pmf_err"] = pmf_err
+
 print(json.dumps(out))
 """
 
@@ -120,3 +150,24 @@ def test_tpu_nuts_pallas_matches_xla_path(tpu_results):
         assert abs(p["mean"][d] - x["mean"][d]) <= 0.08, (p, x)
         assert abs(p["var"][d] - x["var"][d]) <= 0.4, (p, x)
         assert 0.6 <= p["eff"][d] / x["eff"][d] <= 1.6, (p, x)
+
+
+def test_tpu_mh_pallas_matches_xla_path(tpu_results):
+    # fused MH (hardware-PRNG proposal + accept) vs the XLA lattice on the
+    # same target/proposal: moments and per-draw efficiency must agree
+    p, x = tpu_results["mh_pallas"], tpu_results["mh_xla"]
+    for r in (p, x):
+        for d in range(2):
+            assert 0.95 <= r["rhat"][d] <= 1.05, r
+            assert abs(r["mean"][d] - (0.0, 1.0)[d]) <= 0.15, r
+            assert abs(r["var"][d] - (4.0, 3.0)[d]) <= 0.6, r
+    for d in range(2):
+        assert abs(p["mean"][d] - x["mean"][d]) <= 0.1, (p, x)
+        assert 0.6 <= p["eff"][d] / x["eff"][d] <= 1.6, (p, x)
+
+
+def test_tpu_mh_pallas_discrete_pmf(tpu_results):
+    # the reference's integration-test tolerance: |freq - pmf| < 0.05
+    # (metrohast_poisson_test.rs:124-129); the Lanczos in-kernel log-gamma
+    # deviation (~2e-4 absolute) is far inside it
+    assert tpu_results["poisson_pallas_pmf_err"] < 0.05, tpu_results
