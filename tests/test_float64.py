@@ -1,0 +1,54 @@
+"""Dtype-generality: the kernels run in float64 under jax_enable_x64.
+
+The reference is generic over ``T: Float`` (f32/f64 backends,
+/root/reference/src/hmc.rs:38, /root/reference/src/distributions.rs:65-134);
+here the kernels are dtype-generic over the initial positions' dtype.
+``jax_enable_x64`` is process-global, so the check runs in a subprocess
+(the main suite stays x32, the TPU-native default).
+"""
+
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_SCRIPT = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+import mini_mcmc_tpu as mm
+from mini_mcmc_tpu.models import (
+    gaussian2d, isotropic_gaussian_proposal, rosenbrock_nd,
+)
+
+t = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+mh = mm.MetropolisHastings(
+    t, isotropic_gaussian_proposal(1.0),
+    jnp.asarray(mm.init_det(4, 2), jnp.float64),
+).seed(42)
+s = mh.run(500, 100)
+assert s.dtype == jnp.float64, s.dtype
+assert abs(float(jnp.mean(s))) < 0.3
+
+h = mm.HMC(rosenbrock_nd(), jnp.asarray(mm.init_det(4, 3), jnp.float64),
+           0.05, 8).seed(1)
+sh = h.run(200, 100)
+assert sh.dtype == jnp.float64, sh.dtype
+rhat, ess = mm.split_rhat_mean_ess(sh)
+assert np.all(np.isfinite(np.asarray(rhat)))
+print("OK")
+"""
+
+
+def test_float64_kernels_subprocess():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT], cwd=_REPO, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "OK" in proc.stdout
