@@ -1,4 +1,4 @@
-"""North-star benchmark: 3D Rosenbrock HMC at 16,384 chains per chip.
+"""North-star benchmark: 3D Rosenbrock HMC at 65,536 chains per chip.
 
 Measures effective samples per second per chip (ESS computed with the
 framework's Stan-style split-R-hat/ESS, /root/reference/src/stats.rs:416-546
@@ -41,13 +41,14 @@ import jax.numpy as jnp
 from mini_mcmc_tpu import HMC, NUTS, init_with_seed, split_rhat_mean_ess
 from mini_mcmc_tpu.models import diffable_gaussian2d, rosenbrock_nd
 
-N_CHAINS = 16384  # +38% ESS/s over 8192 (v5e sweep 2026-08: the fused
-# kernel is underutilized below ~16k chains); 32k OOMs the ESS-FFT buffers
+N_CHAINS = 65536  # v5e chain-count sweep (2026-08): ESS/s climbs with both
+# chains and total draws per dispatch (1.79e8 @8k/4096 -> 2.49e8 @16k ->
+# 3.44e8 @65k/4096); 98304x4096 and 65536x8192 exhaust HBM (the [steps,C,D]
+# scan stack + its [C,steps,D] transpose peak at ~2 cubes)
 DIM = 3
 STEP_SIZE = 0.02
 N_LEAPFROG = 192
-N_COLLECT = 4096  # burn-in happens via a first (discarded) collect run;
-# total draws (C*N) kept at 6.7e7 — larger cubes OOM the split-ESS FFT
+N_COLLECT = 4096  # burn-in happens via a first (discarded) collect run
 JITTER = 0.3  # per-step step-size jitter: fixed (eps, L) resonances make
 # ESS wildly seed-dependent on Rosenbrock; jitter stabilizes ESS to ~1%
 # across seeds (Neal 2011)
