@@ -67,9 +67,10 @@ ROSEN3D_X0_MEAN = 0.785217
 ROSEN3D_X0_VAR = 0.229370
 
 # NUTS secondary config: the reference quality-band target
-# (DiffableGaussian2D([0,1],[[4,2],[2,3]]), hmc.rs:632-700 family) at the
-# north-star chain count, steady state after dual-averaging adaptation.
-NUTS_CHAINS = 8192
+# (DiffableGaussian2D([0,1],[[4,2],[2,3]]), hmc.rs:632-700 family),
+# steady state after dual-averaging adaptation. Chain-count sweep on v5e
+# (2026-08): 2.7e7 ESS/s @8k -> 4.8e7 @16k -> 7.3e7 @32k -> 8.5e7 @65k.
+NUTS_CHAINS = 65536
 NUTS_COLLECT = 2048
 NUTS_DISCARD = 128
 NUTS_MEAN = (0.0, 1.0)

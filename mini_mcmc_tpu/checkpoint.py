@@ -41,8 +41,8 @@ def _leaf_to_host(x):
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         # Multi-process mesh: this process only holds its shards, and
         # np.asarray on a span-non-addressable array raises. Gather the
-        # global value across processes first (every process then writes
-        # an identical full checkpoint).
+        # global value across processes first (a collective — every
+        # process must execute it; only process 0 writes the result).
         from jax.experimental import multihost_utils
 
         x = multihost_utils.process_allgather(x, tiled=True)
@@ -73,7 +73,13 @@ def save_checkpoint(path: str, state: Any, key: jax.Array | None = None,
     payload = {"state": state}
     if key is not None:
         payload["key"] = key
+    # The allgather inside _tree_to_host is a collective: ALL processes
+    # must run it. Only process 0 writes files afterwards — on a shared
+    # filesystem (the normal multi-host checkpoint target) concurrent
+    # identical writers would race and corrupt the archive.
     leaves, treedef = jax.tree_util.tree_flatten(_tree_to_host(payload))
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path + ".tree", "wb") as f:
         pickle.dump(treedef, f)

@@ -16,6 +16,21 @@ import jax.numpy as jnp
 from .base import Proposal, Target
 
 
+def _concrete_floats(*xs):
+    """Python floats of ``xs``, or ``None`` when any is a JAX tracer.
+
+    The ``_dc`` (chains-on-lanes) forms feed Pallas kernels, which cannot
+    capture traced array constants — their coefficients must be baked in as
+    Python floats at construction. When a target is built with traced
+    mean/cov (e.g. inside ``jit``/``vmap`` over hyperparameters), the fused
+    kernel path is unavailable; returning ``None`` drops the ``_dc`` forms
+    so construction still succeeds and every XLA path works."""
+    try:
+        return tuple(float(x) for x in xs)
+    except (jax.errors.ConcretizationTypeError, jax.errors.TracerArrayConversionError):
+        return None
+
+
 def gaussian2d(mean, cov) -> Target:
     """2D Gaussian target with unnormalized and normalized log densities.
 
@@ -42,17 +57,21 @@ def gaussian2d(mean, cov) -> Target:
 
     # chains-on-lanes form for the fused Pallas MH kernel: the 2x2
     # quadratic expanded scalar-wise with Python-float coefficients
-    # (Pallas kernels cannot capture traced array constants).
-    m0, m1 = float(mean[0]), float(mean[1])
-    ic00, ic01 = float(inv_cov[0, 0]), float(inv_cov[0, 1])
-    ic10, ic11 = float(inv_cov[1, 0]), float(inv_cov[1, 1])
+    # (see _concrete_floats; None when mean/cov are traced).
+    coeffs = _concrete_floats(
+        mean[0], mean[1],
+        inv_cov[0, 0], inv_cov[0, 1], inv_cov[1, 0], inv_cov[1, 1],
+    )
+    logp_dc = None
+    if coeffs is not None:
+        m0, m1, ic00, ic01, ic10, ic11 = coeffs
 
-    def logp_dc(pos_dc):
-        d0 = pos_dc[0] - m0
-        d1 = pos_dc[1] - m1
-        return -0.5 * (
-            ic00 * d0 * d0 + (ic01 + ic10) * d0 * d1 + ic11 * d1 * d1
-        )
+        def logp_dc(pos_dc):
+            d0 = pos_dc[0] - m0
+            d1 = pos_dc[1] - m1
+            return -0.5 * (
+                ic00 * d0 * d0 + (ic01 + ic10) * d0 * d1 + ic11 * d1 * d1
+            )
 
     return Target(logp=unnorm_logp, logp_normalized=logp_normalized,
                   logp_dc=logp_dc)
@@ -92,24 +111,28 @@ def diffable_gaussian2d(mean, cov) -> Target:
 
     # chains-on-lanes forms for Pallas kernels: pos_dc is [2, ...]; the 2x2
     # quadratic is expanded scalar-wise with Python-float coefficients
-    # (Pallas kernels cannot capture traced array constants).
-    m0, m1 = float(mean[0]), float(mean[1])
-    ic00, ic01 = float(inv_cov[0, 0]), float(inv_cov[0, 1])
-    ic10, ic11 = float(inv_cov[1, 0]), float(inv_cov[1, 1])
-    nc = float(norm_const)
+    # (see _concrete_floats; None when mean/cov are traced).
+    coeffs = _concrete_floats(
+        mean[0], mean[1],
+        inv_cov[0, 0], inv_cov[0, 1], inv_cov[1, 0], inv_cov[1, 1],
+        norm_const,
+    )
+    logp_dc = grad_dc = None
+    if coeffs is not None:
+        m0, m1, ic00, ic01, ic10, ic11, nc = coeffs
 
-    def logp_dc(pos_dc):
-        d0 = pos_dc[0] - m0
-        d1 = pos_dc[1] - m1
-        quad = ic00 * d0 * d0 + (ic01 + ic10) * d0 * d1 + ic11 * d1 * d1
-        return nc - 0.5 * quad
+        def logp_dc(pos_dc):
+            d0 = pos_dc[0] - m0
+            d1 = pos_dc[1] - m1
+            quad = ic00 * d0 * d0 + (ic01 + ic10) * d0 * d1 + ic11 * d1 * d1
+            return nc - 0.5 * quad
 
-    def grad_dc(pos_dc):
-        d0 = pos_dc[0] - m0
-        d1 = pos_dc[1] - m1
-        g0 = -(ic00 * d0 + ic01 * d1)
-        g1 = -(ic10 * d0 + ic11 * d1)
-        return jnp.concatenate([g0[None], g1[None]], axis=0)
+        def grad_dc(pos_dc):
+            d0 = pos_dc[0] - m0
+            d1 = pos_dc[1] - m1
+            g0 = -(ic00 * d0 + ic01 * d1)
+            g1 = -(ic10 * d0 + ic11 * d1)
+            return jnp.concatenate([g0[None], g1[None]], axis=0)
 
     return Target(logp=logp, logp_batch=logp_batch, grad=grad,
                   logp_normalized=logp, logp_dc=logp_dc, grad_dc=grad_dc)

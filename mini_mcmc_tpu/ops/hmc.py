@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..models.base import Target
+from ..runner import make_scan_block_fn
+from .pallas.rng import key_to_seed
 
 
 class HMCState(NamedTuple):
@@ -160,7 +162,7 @@ def hmc_kernel(
         if pallas_full is not None:
             # Seed the hardware PRNG deterministically from the FULL 64-bit
             # step key (two int32 words).
-            seed = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
+            seed = key_to_seed(key)
             positions, logp, grad = pallas_full(
                 state.positions, state.logp, state.grad, seed, eps
             )
@@ -209,22 +211,13 @@ def hmc_kernel(
 
             def block_fn(state: HMCState, key: jax.Array):
                 dtype = state.positions.dtype
-                seed = (
-                    jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
-                )
                 positions, logp, grad, rows = pallas_multistep(
-                    state.positions, state.logp, state.grad, seed,
-                    _eps_block(key, dtype),
+                    state.positions, state.logp, state.grad,
+                    key_to_seed(key), _eps_block(key, dtype),
                 )
                 return HMCState(positions, logp, grad), rows
         else:
-
-            def block_fn(state: HMCState, key: jax.Array):
-                def body(carry, sub):
-                    carry = step_fn(carry, sub)
-                    return carry, carry.positions
-
-                return lax.scan(body, state, jax.random.split(key, k))
+            block_fn = make_scan_block_fn(step_fn, k)
 
         step_fn.block_fn = block_fn
         step_fn.block_size = k

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.base import Proposal, Target
+from ..runner import make_scan_block_fn
+from .pallas.rng import key_to_seed
 
 
 class MHState(NamedTuple):
@@ -80,7 +82,7 @@ def mh_kernel(target: Target, proposal: Proposal, *,
     def step_fn(state: MHState, key: jax.Array) -> MHState:
         n_chains = state.positions.shape[0]
         if pallas_single is not None:
-            seed = jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
+            seed = key_to_seed(key)
             positions, logp, _ = pallas_single(
                 state.positions, state.logp, seed
             )
@@ -112,21 +114,12 @@ def mh_kernel(target: Target, proposal: Proposal, *,
         if pallas_multistep is not None:
 
             def block_fn(state: MHState, key: jax.Array):
-                seed = (
-                    jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
-                )
                 positions, logp, rows = pallas_multistep(
-                    state.positions, state.logp, seed
+                    state.positions, state.logp, key_to_seed(key)
                 )
                 return MHState(positions, logp), rows
         else:
-
-            def block_fn(state: MHState, key: jax.Array):
-                def body(carry, sub):
-                    carry = step_fn(carry, sub)
-                    return carry, carry.positions
-
-                return jax.lax.scan(body, state, jax.random.split(key, k))
+            block_fn = make_scan_block_fn(step_fn, k)
 
         step_fn.block_fn = block_fn
         step_fn.block_size = k

@@ -166,9 +166,12 @@ def make_pallas_hmc_multistep(
         c, d = pos_cd.shape
         dtype = pos_cd.dtype
         bc = min(block_c, c)
-        if c % bc or bc % 1024:
+        if c % 1024 or c % bc or bc % 1024:
             raise ValueError(
-                f"n_chains={c} must be a multiple of block_c={bc} and 1024"
+                f"the fused kernel needs n_chains to be a multiple of 1024 "
+                f"(8 sublanes x 128 lanes) and of the grid block "
+                f"block_c={block_c} (itself a 1024-multiple); got "
+                f"n_chains={c}"
             )
         grid = (c // bc,)
         shape3 = (d, 8, c // 8)

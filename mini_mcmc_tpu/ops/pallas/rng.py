@@ -15,6 +15,7 @@ cover the fused kernels' plumbing and TPU tests their statistics.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 try:  # pragma: no cover - import guard mirrors ops/pallas/__init__
@@ -25,6 +26,15 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 _TWO_PI = 6.283185307179586
+
+
+def key_to_seed(key):
+    """Pack a threefry key into the two int32 words that seed the
+    in-kernel hardware PRNG (the full 64 bits of key material — truncating
+    to one word would alias step keys). Shared by every fused kernel
+    call site so the seed schedule changes in one place. (Unlike the other
+    helpers here, this traces anywhere — it runs OUTSIDE the kernel.)"""
+    return jax.random.key_data(key).astype(jnp.int32).reshape(-1)[:2]
 
 
 def bits_to_unit_open(bits):

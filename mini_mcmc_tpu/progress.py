@@ -29,6 +29,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import stats as stats_mod
 
@@ -145,9 +146,13 @@ def progress_run(
         now = time.monotonic()
         final = done >= total
         if stats is None or now - last_stats >= _STATS_SECONDS or final:
-            # worker-side tick: fetch stats to the host, rotate the bars
+            # worker-side tick: fetch stats to the host, rotate the bars.
+            # Materialize the per-chain vector to host memory HERE — the
+            # renderer indexes it per bar per redraw, and indexing a device
+            # array would dispatch a ~70-90 ms transfer per bar per frame
+            # on tunneled backends, defeating this throttle.
             p_accept = float(tracker.p_accept)
-            pc = jnp.asarray(tracker.p_accept_chains)
+            pc = np.asarray(tracker.p_accept_chains)
             max_rhat = float(stats_mod.tracker_max_rhat(tracker))
             if stats is not None:
                 display.rotate()

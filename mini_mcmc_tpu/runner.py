@@ -109,6 +109,22 @@ def make_simple_runner(
     return run
 
 
+def make_scan_block_fn(step_fn: Callable, k: int) -> Callable:
+    """XLA fallback block kernel: K scanned ``step_fn`` steps per call,
+    returning ``(state, rows [K, C, D])`` — the same contract as the fused
+    Pallas multi-step kernels, so :func:`make_block_runner` accepts either.
+    """
+
+    def block_fn(state, key):
+        def body(carry, sub):
+            carry = step_fn(carry, sub)
+            return carry, carry.positions
+
+        return lax.scan(body, state, jax.random.split(key, k))
+
+    return block_fn
+
+
 def make_block_runner(
     block_fn: Callable,
     block_size: int,

@@ -42,6 +42,25 @@ def test_gaussian2d_unnorm_logp_correlated():
     assert np.isclose(float(target.logp(jnp.asarray(x))), expected, atol=1e-6)
 
 
+def test_gaussian_targets_construct_under_trace():
+    # Building the targets with TRACED mean/cov (e.g. a jitted
+    # hyperparameter sweep) must work: the Pallas-only _dc forms are
+    # dropped (they need Python-float coefficients) but every XLA path
+    # stays usable.
+    @jax.jit
+    def logp_at_origin(mean):
+        cov = jnp.eye(2)
+        t1 = gaussian2d(mean, cov)
+        t2 = diffable_gaussian2d(mean, cov)
+        assert t1.logp_dc is None and t2.logp_dc is None
+        x = jnp.zeros(2)
+        return t1.logp(x) + t2.logp(x) + t2.grad(x)[0]
+
+    val = logp_at_origin(jnp.array([1.0, 0.0]))
+    expected = -0.5 + (-np.log(2 * np.pi) - 0.5) + 1.0
+    assert np.isclose(float(val), expected, atol=1e-6)
+
+
 def test_diffable_gaussian2d_matches_scipy_logpdf():
     cov = np.array([[4.0, 2.0], [2.0, 3.0]])
     mean = np.array([0.0, 1.0])
