@@ -41,10 +41,12 @@ import jax.numpy as jnp
 from mini_mcmc_tpu import HMC, NUTS, init_with_seed, split_rhat_mean_ess
 from mini_mcmc_tpu.models import diffable_gaussian2d, rosenbrock_nd
 
-N_CHAINS = 65536  # v5e chain-count sweep (2026-08): ESS/s climbs with both
-# chains and total draws per dispatch (1.79e8 @8k/4096 -> 2.49e8 @16k ->
-# 3.44e8 @65k/4096); 98304x4096 and 65536x8192 exhaust HBM (the [steps,C,D]
-# scan stack + its [C,steps,D] transpose peak at ~2 cubes)
+N_CHAINS = 98304  # v5e chain-count sweep (2026-08): ESS/s climbs with
+# chains until HBM runs out (1.79e8 @8k/4096 -> 2.49e8 @16k -> 3.44e8 @65k
+# -> 3.68e8 @98k). 98k only fits with the time-major layout (the
+# [C,steps,D] transpose would materialize a second sample cube; see
+# docs/design.md "Memory layout"); 114688 and 131072 exhaust HBM even
+# time-major.
 DIM = 3
 STEP_SIZE = 0.02
 N_LEAPFROG = 192
@@ -101,14 +103,16 @@ def bench_hmc_flagship() -> dict:
     # Burn-in with the SAME (n_collect, n_discard) signature as the timed
     # run: exactly one program is compiled (remote compiles dominate wall
     # time on tunneled backends). The first call's output is the burn-in.
-    _sync(hmc.run(N_COLLECT, 0))
+    # time_major: scan-native [N, C, D] layout; skipping the cube transpose
+    # halves peak HBM, which is what lets 98k chains fit at all.
+    _sync(hmc.run(N_COLLECT, 0, time_major=True))
 
     # Timed region: steady-state sampling only, one compiled dispatch.
     t0 = time.monotonic()
-    sample = _sync(hmc.run(N_COLLECT, 0))
+    sample = _sync(hmc.run(N_COLLECT, 0, time_major=True))
     elapsed = time.monotonic() - t0
 
-    rhat, ess = split_rhat_mean_ess(sample)
+    rhat, ess = split_rhat_mean_ess(sample, time_major=True)
     ess_mean = float(jnp.mean(ess))
     ess_min = float(jnp.min(ess))
     rhat_mean = float(jnp.mean(rhat))

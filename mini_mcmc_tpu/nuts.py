@@ -119,13 +119,18 @@ class NUTS:
         count is the standard Stan-style health diagnostic)."""
         return self.state.divergences
 
-    def run(self, n_collect: int, n_discard: int = 0) -> jax.Array:
-        """Sample; returns ``[n_chains, n_collect, D]``."""
+    def run(self, n_collect: int, n_discard: int = 0, *,
+            time_major: bool = False) -> jax.Array:
+        """Sample; returns ``[n_chains, n_collect, D]`` — or
+        ``[n_collect, n_chains, D]`` with ``time_major=True``, which skips
+        the final transpose (halves peak HBM at huge chain counts; pair
+        with ``split_rhat_mean_ess(..., time_major=True)``)."""
         self.state = self._prepare_fn(
             self.state, self._next_key(), n_discard=n_discard
         )
         self.state, sample, _ = self._runner(
-            self.state, self._next_key(), n_collect, n_discard
+            self.state, self._next_key(), n_collect, n_discard,
+            time_major=time_major,
         )
         return sample
 

@@ -87,7 +87,10 @@ def make_simple_runner(
     Returns ``(final_state, sample, tracker)``. Samples are stacked
     ``[steps, C, D]`` inside the scan (contiguous per-step writes) and
     transposed once at the end, which beats strided ``[C, steps, D]``
-    scatters on TPU.
+    scatters on TPU. ``time_major=True`` skips that final transpose and
+    returns ``[steps, C, D]`` — the transpose materializes a second sample
+    cube, so skipping it halves peak HBM at huge chain counts (consume
+    with ``split_rhat_mean_ess(..., time_major=True)``).
     """
     discard_phase, collect_phase = _make_phases(
         step_fn, positions_of, tracker_update
@@ -95,15 +98,16 @@ def make_simple_runner(
 
     @partial(
         jax.jit,
-        static_argnames=("n_collect", "n_discard"),
+        static_argnames=("n_collect", "n_discard", "time_major"),
         donate_argnames=("state",),
     )
-    def run(state, key, n_collect: int, n_discard: int, tracker=None):
+    def run(state, key, n_collect: int, n_discard: int, tracker=None,
+            time_major: bool = False):
         key_discard, key_collect = jax.random.split(key)
         state, tracker = discard_phase(state, tracker, key_discard, n_discard)
         state, tracker, ys = collect_phase(state, tracker, key_collect,
                                            n_collect)
-        sample = jnp.swapaxes(ys, 0, 1)
+        sample = ys if time_major else jnp.swapaxes(ys, 0, 1)
         return state, sample, tracker
 
     return run
@@ -174,10 +178,11 @@ def make_block_runner(
 
     @partial(
         jax.jit,
-        static_argnames=("n_collect", "n_discard"),
+        static_argnames=("n_collect", "n_discard", "time_major"),
         donate_argnames=("state",),
     )
-    def run(state, key, n_collect: int, n_discard: int, tracker=None):
+    def run(state, key, n_collect: int, n_discard: int, tracker=None,
+            time_major: bool = False):
         if n_collect % k or n_discard % k:
             raise ValueError(
                 f"n_collect={n_collect} and n_discard={n_discard} must be "
@@ -187,8 +192,9 @@ def make_block_runner(
         state, tracker = discard_phase(state, tracker, key_discard, n_discard)
         state, tracker, ys = collect_phase(state, tracker, key_collect,
                                            n_collect)
-        # [blocks, K, C, D] -> [n_collect, C, D] -> [C, n_collect, D]
-        sample = jnp.swapaxes(ys.reshape((-1,) + ys.shape[2:]), 0, 1)
+        # [blocks, K, C, D] -> [n_collect, C, D] (-> [C, n_collect, D])
+        rows = ys.reshape((-1,) + ys.shape[2:])
+        sample = rows if time_major else jnp.swapaxes(rows, 0, 1)
         return state, sample, tracker
 
     return run
@@ -214,10 +220,11 @@ def make_initial_recording_runner(
 
     @partial(
         jax.jit,
-        static_argnames=("n_collect", "n_discard"),
+        static_argnames=("n_collect", "n_discard", "time_major"),
         donate_argnames=("state",),
     )
-    def run(state, key, n_collect: int, n_discard: int, tracker=None):
+    def run(state, key, n_collect: int, n_discard: int, tracker=None,
+            time_major: bool = False):
         key_discard, key_collect = jax.random.split(key)
         if n_discard == 0:
             first = positions_of(state)
@@ -234,7 +241,7 @@ def make_initial_recording_runner(
             state, tracker, rows = collect_phase(
                 state, tracker, key_collect, n_collect
             )
-        sample = jnp.swapaxes(rows, 0, 1)
+        sample = rows if time_major else jnp.swapaxes(rows, 0, 1)
         return state, sample, tracker
 
     return run

@@ -106,11 +106,16 @@ class _KernelSampler:
         return self.state.positions.shape[1]
 
     # -- running -----------------------------------------------------------
-    def run(self, n_collect: int, n_discard: int = 0) -> jax.Array:
+    def run(self, n_collect: int, n_discard: int = 0, *,
+            time_major: bool = False) -> jax.Array:
         """Advance ``n_collect + n_discard`` steps; return the last
-        ``n_collect`` states as ``[n_chains, n_collect, dim]``."""
+        ``n_collect`` states as ``[n_chains, n_collect, dim]`` — or
+        ``[n_collect, n_chains, dim]`` with ``time_major=True``, which
+        skips the final transpose (halves peak HBM at huge chain counts;
+        pair with ``split_rhat_mean_ess(..., time_major=True)``)."""
         self.state, sample, _ = self._runner(
-            self.state, self._next_key(), n_collect, n_discard
+            self.state, self._next_key(), n_collect, n_discard,
+            time_major=time_major,
         )
         return sample
 

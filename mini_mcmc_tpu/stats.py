@@ -352,18 +352,77 @@ def _ess(splitted: jax.Array, within: jax.Array, var: jax.Array) -> jax.Array:
     return (n_chains * n_steps) / tau
 
 
-def split_rhat_mean_ess(sample: jax.Array):
+def _split_rhat_mean_ess_tm(sample: jax.Array):
+    """Time-major (``[N, C, P]``) variant of :func:`split_rhat_mean_ess`.
+
+    Memory-lean by construction: the two split halves stay VIEWS of the
+    input cube (reductions fuse into the slices under jit), the only
+    full-width intermediates are ``[2C, P]`` moment rows, and the
+    per-chain autocovariance transposes one ``_AUTOCOV_CHUNK``-sized block
+    at a time — peak memory is one sample cube plus a chunk, instead of
+    the chain-major path's two cubes (its ``_splitcat`` copy). Formulas are
+    identical (stats.rs:416-546); results match the chain-major path to
+    float32 reduction-order noise.
+    """
+    n = sample.shape[0]
+    half = n // 2
+    first = sample[:half]  # [n', C, P]
+    last = sample[n - half:]
+
+    # within/pooled variance from per-half chain moments (stats.rs:429-477)
+    cm_first = jnp.mean(first, axis=0)  # [C, P]
+    cm_last = jnp.mean(last, axis=0)
+    chain_means = jnp.concatenate([cm_first, cm_last], axis=0)  # [2C, P]
+    c = chain_means.shape[0]
+    overall_mean = jnp.mean(chain_means, axis=0)
+    diff = chain_means - overall_mean[None, :]
+    nf = float(half)
+    b = jnp.sum(diff**2, axis=0) * (nf / (c - 1.0))
+    squares = jnp.concatenate(
+        [
+            jnp.mean((first - cm_first[None]) ** 2, axis=0),
+            jnp.mean((last - cm_last[None]) ** 2, axis=0),
+        ],
+        axis=0,
+    )  # [2C, P]
+    within = jnp.mean(squares, axis=0)
+    var = (
+        ((nf - 1.0) / nf) * within + b / nf if nf > 0 else within * jnp.nan
+    )
+    rhat = jnp.sqrt(within / var)
+
+    # chain-mean autocovariance, chunked over chains (stats.rs:496-546)
+    n_chains_total = 2 * sample.shape[1]
+    acov = autocov_bf if half <= 100 else autocov_fft
+    acc = jnp.zeros((half,) + sample.shape[2:], jnp.float32)
+    step = max(1, _AUTOCOV_CHUNK // 2)
+    for i in range(0, sample.shape[1], step):
+        for hsl in (first, last):
+            blk = jnp.swapaxes(hsl[:, i : i + step], 0, 1)  # [c, n', P]
+            acc = acc + jnp.sum(jax.vmap(acov)(blk), axis=0)
+    avg_rho = acc / n_chains_total
+    rho = 1.0 - (within[None, :] - avg_rho) / var[None, :]
+    ess = (n_chains_total * half) / _geyer_tau(rho)
+    return rhat, ess
+
+
+def split_rhat_mean_ess(sample: jax.Array, *, time_major: bool = False):
     """Split R-hat and ESS per parameter following Stan's methodology
     (stats.rs:416-423).
 
     Args:
-        sample: ``[chains, observations, parameters]``.
+        sample: ``[chains, observations, parameters]`` — or
+            ``[observations, chains, parameters]`` with ``time_major=True``
+            (the runners' pre-transpose layout; halves the peak HBM
+            footprint of post-run diagnostics at huge chain counts).
 
     Returns:
         ``(rhat [P], ess [P])``. Note the reference's split R-hat is
         ``sqrt(W / var)`` (stats.rs:425-427), preserved here.
     """
     sample = jnp.asarray(sample, jnp.float32)
+    if time_major:
+        return _split_rhat_mean_ess_tm(sample)
     splitted = _splitcat(sample)
     within, var = _withinvar(splitted)
     rhat = jnp.sqrt(within / var)

@@ -103,6 +103,23 @@ def test_hmc_determinism_and_continuation():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_hmc_time_major_layout_is_pure_transpose():
+    # time_major=True must change ONLY the layout: same draws, bit-exact,
+    # for both the per-step runner and the K-step block runner
+    target = rosenbrock_nd()
+    cm = HMC(target, init_det(4, 3), 0.03, 10).seed(5).run(50, 10)
+    tm = HMC(target, init_det(4, 3), 0.03, 10).seed(5).run(
+        50, 10, time_major=True
+    )
+    assert tm.shape == (50, 4, 3)
+    np.testing.assert_array_equal(np.asarray(tm), np.asarray(jnp.swapaxes(cm, 0, 1)))
+    cm = HMC(target, init_det(4, 3), 0.03, 10, steps_per_call=5).seed(5).run(50, 10)
+    tm = HMC(target, init_det(4, 3), 0.03, 10, steps_per_call=5).seed(5).run(
+        50, 10, time_major=True
+    )
+    np.testing.assert_array_equal(np.asarray(tm), np.asarray(jnp.swapaxes(cm, 0, 1)))
+
+
 def test_hmc_block_runner_matches_block_fn():
     # the K-step block runner must reproduce exactly what the block
     # function computes, with the same key schedule

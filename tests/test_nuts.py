@@ -241,3 +241,18 @@ def test_nuts_funnel_produces_divergences():
     # only a loose sanity check)
     v = np.asarray(sample[:, :, 0]).ravel()
     assert abs(v.mean()) < 1.5, v.mean()
+
+
+def test_nuts_time_major_layout_is_pure_transpose():
+    # the initial-recording runner's time_major=True must change ONLY the
+    # layout: same draws, bit-exact, for both collection conventions
+    target = diffable_gaussian2d([0.0, 1.0], [[1.0, 0.0], [0.0, 1.0]])
+    for n_discard in (0, 20):
+        cm = NUTS(target, init_det(4, 2), 0.5).seed(7).run(30, n_discard)
+        tm = NUTS(target, init_det(4, 2), 0.5).seed(7).run(
+            30, n_discard, time_major=True
+        )
+        assert tm.shape == (30, 4, 2)
+        np.testing.assert_array_equal(
+            np.asarray(tm), np.asarray(jnp.swapaxes(cm, 0, 1))
+        )

@@ -175,6 +175,32 @@ def test_run_stats_display():
     assert "ESS" in text and "Split R-hat" in text
 
 
+def test_split_rhat_mean_ess_time_major_matches(monkeypatch):
+    # the memory-lean [N, C, P] path must agree with the chain-major one
+    key = jax.random.PRNGKey(5)
+    sample = jax.random.normal(key, (32, 257, 3), jnp.float32)  # odd draws
+    sample = sample + 0.5 * jnp.roll(sample, 1, axis=1)
+    rhat_cm, ess_cm = S.split_rhat_mean_ess(sample)
+    monkeypatch.setattr(S, "_AUTOCOV_CHUNK", 20)  # exercise the chunk loop
+    rhat_tm, ess_tm = S.split_rhat_mean_ess(
+        jnp.swapaxes(sample, 0, 1), time_major=True
+    )
+    np.testing.assert_allclose(np.asarray(rhat_tm), np.asarray(rhat_cm),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ess_tm), np.asarray(ess_cm),
+                               rtol=1e-4)
+    # brute-force (n<=100) dispatch branch too
+    short = sample[:, :64]
+    rhat_cm, ess_cm = S.split_rhat_mean_ess(short)
+    rhat_tm, ess_tm = S.split_rhat_mean_ess(
+        jnp.swapaxes(short, 0, 1), time_major=True
+    )
+    np.testing.assert_allclose(np.asarray(rhat_tm), np.asarray(rhat_cm),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ess_tm), np.asarray(ess_cm),
+                               rtol=1e-4)
+
+
 def test_ess_chunked_autocov_matches_unchunked(monkeypatch):
     # huge-chain-count runs accumulate the mean autocovariance in chunks to
     # bound FFT scratch memory; the result must match the one-shot path
