@@ -74,15 +74,19 @@ def save_checkpoint(path: str, state: Any, key: jax.Array | None = None,
     if key is not None:
         payload["key"] = key
     # The allgather inside _tree_to_host is a collective: ALL processes
-    # must run it. Only process 0 writes files afterwards — on a shared
-    # filesystem (the normal multi-host checkpoint target) concurrent
-    # identical writers would race and corrupt the archive.
+    # must run it. So is the orbax save below (it opens and closes with
+    # global process barriers — a lone process-0 call would hang forever
+    # waiting for the others); orbax itself has the primary host write and
+    # the rest only participate in the sync. Only the plain-file writes
+    # (.tree, .npz, stale-artifact cleanup) are process-0-only — on a
+    # shared filesystem (the normal multi-host checkpoint target)
+    # concurrent identical writers would race and corrupt the archive.
     leaves, treedef = jax.tree_util.tree_flatten(_tree_to_host(payload))
-    if jax.process_index() != 0:
-        return
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path + ".tree", "wb") as f:
-        pickle.dump(treedef, f)
+    is_primary = jax.process_index() == 0
+    if is_primary:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path + ".tree", "wb") as f:
+            pickle.dump(treedef, f)
     # Remove the other format's artifact: load_checkpoint auto-detects by
     # looking for <path>.orbax first, so a leftover directory from an
     # earlier save would otherwise shadow a newer .npz (and vice versa the
@@ -93,9 +97,9 @@ def save_checkpoint(path: str, state: Any, key: jax.Array | None = None,
         ocp.PyTreeCheckpointer().save(
             os.path.abspath(path) + ".orbax", named, force=True
         )
-        if os.path.exists(path + ".npz"):
+        if is_primary and os.path.exists(path + ".npz"):
             os.remove(path + ".npz")
-    else:
+    elif is_primary:
         np.savez(path + ".npz", *leaves)
         orbax_dir = os.path.abspath(path) + ".orbax"
         if os.path.isdir(orbax_dir):

@@ -63,19 +63,21 @@ def make_pallas_hmc_step(
     int32 scalars.
 
     Implemented as the K=1 case of :func:`make_pallas_hmc_multistep` with
-    the per-step history output dropped — the hardware-PRNG stream is
-    identical (same seeding, same draw order), so there is exactly one
-    kernel body to maintain.
+    the per-step history output compiled out (``with_history=False`` — the
+    current positions ARE the step's history, and pallas outputs are opaque
+    to XLA DCE, so a discarded history would still be allocated and
+    written every step). The hardware-PRNG stream is identical (same
+    seeding, same draw order), so there is exactly one kernel body to
+    maintain.
     """
     multi = make_pallas_hmc_multistep(
         grad_dc, logp_dc, step_size, n_leapfrog, 1,
-        block_c=block_c, interpret=interpret,
+        block_c=block_c, interpret=interpret, with_history=False,
     )
 
     @jax.jit
     def step(pos_cd, logp_c, grad_cd, seed, eps):
-        pos, logp, grad, _hist = multi(pos_cd, logp_c, grad_cd, seed, eps)
-        return pos, logp, grad
+        return multi(pos_cd, logp_c, grad_cd, seed, eps)
 
     return step
 
@@ -89,6 +91,7 @@ def make_pallas_hmc_multistep(
     *,
     block_c: int = 8192,
     interpret: bool = False,
+    with_history: bool = True,
 ):
     """K fused sampler steps per kernel invocation.
 
@@ -106,12 +109,15 @@ def make_pallas_hmc_multistep(
     eps [K]) -> (pos', logp', grad', hist [K, C, D])``. ``eps`` carries the
     per-step (possibly jittered) step sizes. The hardware-PRNG stream runs
     sequentially across the K steps, deterministic per (seed, block).
+    ``with_history=False`` compiles the history output out entirely (and
+    drops it from the return tuple) — for K=1 driving, where the returned
+    positions already are the step's sample row.
     """
     if k_steps < 1:
         raise ValueError(f"k_steps must be >= 1, got {k_steps}")
 
     def kernel(seed_ref, eps_ref, pos_ref, logp_ref, grad_ref,
-               pos_out, logp_out, grad_out, hist_out):
+               pos_out, logp_out, grad_out, *hist_outs):
         # full 64-bit step key (two scalars; Mosaic caps prng_seed at two
         # values) — xor-folding to 32 bits would birthday-collide after
         # ~2^16 steps and replay noise. The block id is mixed into word 0.
@@ -151,7 +157,8 @@ def make_pallas_hmc_multistep(
             pos_c = jnp.where(accept[None], pos, pos_c)
             grad_c = jnp.where(accept[None], grad, grad_c)
             logp_c = jnp.where(accept, logp, logp_c)
-            hist_out[pl.ds(k, 1)] = pos_c[None]
+            if with_history:
+                hist_outs[0][pl.ds(k, 1)] = pos_c[None]
             return pos_c, logp_c, grad_c
 
         pos_f, logp_f, grad_f = lax.fori_loop(
@@ -197,26 +204,35 @@ def make_pallas_hmc_multistep(
             s_spec = pl.BlockSpec((k_steps,), lambda i: (0,),
                                   memory_space=pltpu.SMEM)
 
-        pos_o, logp_o, grad_o, hist_o = pl.pallas_call(
+        out_specs = [dc_spec, lp_spec, dc_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct(shape3, dtype),
+            jax.ShapeDtypeStruct((8, c // 8), dtype),
+            jax.ShapeDtypeStruct(shape3, dtype),
+        ]
+        if with_history:
+            out_specs.append(hist_spec)
+            out_shape.append(
+                jax.ShapeDtypeStruct((k_steps,) + shape3, dtype)
+            )
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[seed_spec, s_spec, dc_spec, lp_spec, dc_spec],
-            out_specs=(dc_spec, lp_spec, dc_spec, hist_spec),
-            out_shape=(
-                jax.ShapeDtypeStruct(shape3, dtype),
-                jax.ShapeDtypeStruct((8, c // 8), dtype),
-                jax.ShapeDtypeStruct(shape3, dtype),
-                jax.ShapeDtypeStruct((k_steps,) + shape3, dtype),
-            ),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             interpret=interpret,
         )(seed_arr, eps_arr, pos_p, logp_p, grad_p)
 
-        hist = jnp.swapaxes(hist_o.reshape(k_steps, d, c), 1, 2)
-        return (
+        pos_o, logp_o, grad_o = outs[:3]
+        flat = (
             pos_o.reshape(d, c).T,
             logp_o.reshape(c),
             grad_o.reshape(d, c).T,
-            hist,
         )
+        if not with_history:
+            return flat
+        hist = jnp.swapaxes(outs[3].reshape(k_steps, d, c), 1, 2)
+        return flat + (hist,)
 
     return step

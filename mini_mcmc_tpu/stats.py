@@ -286,25 +286,36 @@ def _splitcat(sample: jax.Array) -> jax.Array:
     return jnp.concatenate([sample[:, :half], sample[:, n - half :]], axis=0)
 
 
-def _withinvar(splitted: jax.Array):
-    """Within-chain variance W and pooled var estimate per parameter
-    (stats.rs:429-477). Input ``[2C, n', P]``."""
-    c = splitted.shape[0]
-    n = splitted.shape[1]
-    chain_means = jnp.mean(splitted, axis=1)  # [2C, P]
+def _bwv_from_moments(chain_means: jax.Array, squares: jax.Array, nf: float):
+    """W and pooled var from per-(split-)chain moments — the SINGLE copy of
+    the reference formula (stats.rs:429-477), shared by the chain-major and
+    time-major layouts (CLAUDE.md: these are bit-for-bit parity targets).
+
+    Args:
+        chain_means: ``[2C, P]`` per-split-chain means.
+        squares: ``[2C, P]`` per-split-chain biased variances.
+        nf: split-chain length n' as a float — float division throughout:
+            with a degenerate split (n' == 0, e.g. a single-draw sample)
+            the reference's f64 arithmetic yields NaN/inf rather than
+            panicking, while Python int division would raise instead.
+    """
+    c = chain_means.shape[0]
     overall_mean = jnp.mean(chain_means, axis=0)  # [P]
     diff = chain_means - overall_mean[None, :]
-    # float division throughout: with a degenerate split (n' == 0, e.g. a
-    # single-draw sample) the reference's f64 arithmetic yields NaN/inf
-    # rather than panicking — Python int division would raise instead.
-    nf = float(n)
     b = jnp.sum(diff**2, axis=0) * (nf / (c - 1.0))
-    squares = jnp.mean(
-        (splitted - chain_means[:, None, :]) ** 2, axis=1
-    )  # [2C, P] biased per-chain variance
     w = jnp.mean(squares, axis=0)
     v = ((nf - 1.0) / nf) * w + b / nf if nf > 0 else w * jnp.nan
     return w, v
+
+
+def _withinvar(splitted: jax.Array):
+    """Within-chain variance W and pooled var estimate per parameter
+    (stats.rs:429-477). Input ``[2C, n', P]``."""
+    chain_means = jnp.mean(splitted, axis=1)  # [2C, P]
+    squares = jnp.mean(
+        (splitted - chain_means[:, None, :]) ** 2, axis=1
+    )  # [2C, P] biased per-chain variance
+    return _bwv_from_moments(chain_means, squares, float(splitted.shape[1]))
 
 
 def _geyer_tau(rho: jax.Array) -> jax.Array:
@@ -352,32 +363,22 @@ def _ess(splitted: jax.Array, within: jax.Array, var: jax.Array) -> jax.Array:
     return (n_chains * n_steps) / tau
 
 
-def _split_rhat_mean_ess_tm(sample: jax.Array):
-    """Time-major (``[N, C, P]``) variant of :func:`split_rhat_mean_ess`.
+@partial(jax.jit, static_argnames=())
+def _tm_moments(sample: jax.Array):
+    """Split moments of a time-major ``[N, C, P]`` cube -> (rhat, W, var).
 
-    Memory-lean by construction: the two split halves stay VIEWS of the
-    input cube (reductions fuse into the slices under jit), the only
-    full-width intermediates are ``[2C, P]`` moment rows, and the
-    per-chain autocovariance transposes one ``_AUTOCOV_CHUNK``-sized block
-    at a time — peak memory is one sample cube plus a chunk, instead of
-    the chain-major path's two cubes (its ``_splitcat`` copy). Formulas are
-    identical (stats.rs:416-546); results match the chain-major path to
-    float32 reduction-order noise.
+    Jitted so the half-cube slices and their reductions FUSE: XLA reads
+    the input cube in place and emits only ``[C, P]``-sized outputs —
+    eager dispatch would materialize two half-cube temporaries per moment
+    (exactly the allocation the time-major path exists to avoid).
     """
     n = sample.shape[0]
     half = n // 2
     first = sample[:half]  # [n', C, P]
     last = sample[n - half:]
-
-    # within/pooled variance from per-half chain moments (stats.rs:429-477)
     cm_first = jnp.mean(first, axis=0)  # [C, P]
     cm_last = jnp.mean(last, axis=0)
     chain_means = jnp.concatenate([cm_first, cm_last], axis=0)  # [2C, P]
-    c = chain_means.shape[0]
-    overall_mean = jnp.mean(chain_means, axis=0)
-    diff = chain_means - overall_mean[None, :]
-    nf = float(half)
-    b = jnp.sum(diff**2, axis=0) * (nf / (c - 1.0))
     squares = jnp.concatenate(
         [
             jnp.mean((first - cm_first[None]) ** 2, axis=0),
@@ -385,20 +386,38 @@ def _split_rhat_mean_ess_tm(sample: jax.Array):
         ],
         axis=0,
     )  # [2C, P]
-    within = jnp.mean(squares, axis=0)
-    var = (
-        ((nf - 1.0) / nf) * within + b / nf if nf > 0 else within * jnp.nan
-    )
-    rhat = jnp.sqrt(within / var)
+    within, var = _bwv_from_moments(chain_means, squares, float(half))
+    return jnp.sqrt(within / var), within, var
 
-    # chain-mean autocovariance, chunked over chains (stats.rs:496-546)
+
+def _split_rhat_mean_ess_tm(sample: jax.Array):
+    """Time-major (``[N, C, P]``) variant of :func:`split_rhat_mean_ess`.
+
+    Memory-lean by construction: the split moments run as one jitted
+    program whose half-cube slices fuse into their reductions (only
+    ``[2C, P]`` moment rows materialize), and the per-chain autocovariance
+    slices + transposes one ``_AUTOCOV_CHUNK``-sized chain block of the
+    cube at a time — peak memory is one sample cube plus a chunk, instead
+    of the chain-major path's two cubes (its ``_splitcat`` copy). Formulas
+    are shared with the chain-major path (``_bwv_from_moments``,
+    stats.rs:416-546); results match it to float32 reduction-order noise.
+    """
+    n = sample.shape[0]
+    half = n // 2
+    rhat, within, var = _tm_moments(sample)
+
+    # chain-mean autocovariance, chunked over chains (stats.rs:496-546);
+    # slice the cube directly per chunk — materializing the half cubes
+    # up front would defeat the one-cube peak
     n_chains_total = 2 * sample.shape[1]
     acov = autocov_bf if half <= 100 else autocov_fft
     acc = jnp.zeros((half,) + sample.shape[2:], jnp.float32)
     step = max(1, _AUTOCOV_CHUNK // 2)
     for i in range(0, sample.shape[1], step):
-        for hsl in (first, last):
-            blk = jnp.swapaxes(hsl[:, i : i + step], 0, 1)  # [c, n', P]
+        for lo in (0, n - half):
+            blk = jnp.swapaxes(
+                sample[lo : lo + half, i : i + step], 0, 1
+            )  # [c, n', P]
             acc = acc + jnp.sum(jax.vmap(acov)(blk), axis=0)
     avg_rho = acc / n_chains_total
     rho = 1.0 - (within[None, :] - avg_rho) / var[None, :]

@@ -8,7 +8,7 @@ collectives), ``global_chain_mesh``, ``host_local_state`` (each process
 materializes only its own chain rows), a sharded MH run, and a cross-
 process diagnostics reduction.
 
-Usage: ``python multihost_worker.py <process_id> <port>``
+Usage: ``python multihost_worker.py <process_id> <port> <ckpt_dir>``
 """
 
 import os
@@ -16,6 +16,7 @@ import sys
 
 proc_id = int(sys.argv[1])
 port = sys.argv[2]
+ckpt_dir = sys.argv[3]
 
 # invoked as a script: the repo root (not tests/) must be importable
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -84,4 +85,24 @@ np.testing.assert_allclose(
     np.asarray(ref_state.positions[rows]),
     rtol=1e-6,
 )
+
+# Multi-process checkpoint round-trip: save_checkpoint's allgather AND the
+# default orbax backend's save are collectives (global process barriers),
+# so EVERY process must reach them — a process-0-only orbax call deadlocks
+# (checkpoint.py). Saving the sharded state from both processes and
+# restoring must reproduce the gathered global positions bit-exactly.
+from mini_mcmc_tpu.checkpoint import load_checkpoint, save_checkpoint  # noqa: E402
+
+ckpt = os.path.join(ckpt_dir, "state")
+save_checkpoint(ckpt, state)
+from jax.experimental import multihost_utils  # noqa: E402
+
+global_positions = multihost_utils.process_allgather(
+    state.positions, tiled=True
+)
+restored, _ = load_checkpoint(ckpt)
+np.testing.assert_array_equal(
+    np.asarray(restored.positions), np.asarray(global_positions)
+)
+
 print(f"proc {proc_id}: OK max_rhat={max_rhat:.3f}", flush=True)

@@ -131,13 +131,16 @@ def test_dryrun_multichip_self_provisions_mesh():
 def test_multihost_two_process_end_to_end():
     """2-process jax.distributed run (gloo CPU collectives): exercises
     multihost.initialize(), host_local_state sharded init, a sharded MH
-    run, and a cross-process diagnostics reduction. Each worker also
-    replays the run unsharded and checks its locally-owned rows match
+    run, a cross-process diagnostics reduction, and a multi-process
+    checkpoint save (a collective: the orbax backend barriers across
+    processes) + bit-exact restore. Each worker also replays the run
+    unsharded and checks its locally-owned rows match
     (see tests/multihost_worker.py)."""
     import os
     import socket
     import subprocess
     import sys
+    import tempfile
 
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -146,9 +149,10 @@ def test_multihost_two_process_end_to_end():
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "multihost_worker.py")
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    ckpt_dir = tempfile.mkdtemp(prefix="mm_multihost_ckpt_")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(i), str(port)],
+            [sys.executable, worker, str(i), str(port), ckpt_dir],
             cwd=os.path.dirname(os.path.dirname(worker)),
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
