@@ -18,13 +18,21 @@ from .gaussian import (
     standard_normal,
 )
 from .mixture import constant_conditional, gaussian_mixture_conditional
+from .precondition import (
+    Preconditioner,
+    estimate_preconditioner,
+    precondition_target,
+)
 from .rosenbrock import rosenbrock2d, rosenbrock_nd
 
 __all__ = [
     "Categorical",
     "Conditional",
+    "Preconditioner",
     "Proposal",
     "Target",
+    "estimate_preconditioner",
+    "precondition_target",
     "binomial_target",
     "constant_conditional",
     "diffable_gaussian2d",

@@ -38,6 +38,11 @@ class NUTS:
         max_depth: tree-depth cap (the reference recursion is uncapped;
             10 is Stan's default).
         seed: optional base seed.
+        metric: optional :class:`~mini_mcmc_tpu.models.Preconditioner` —
+            runs NUTS in whitened coordinates ``y = L^-1 x`` (equivalent
+            to a ``(L L^T)^-1`` mass matrix; beyond-reference, see
+            ``models/precondition.py``). Positions/samples stay in x-space;
+            step-size adaptation happens in the whitened space.
     """
 
     def __init__(
@@ -50,6 +55,7 @@ class NUTS:
         use_pallas: bool = False,
         pallas_interpret: bool = False,
         warmup_max_depth: Optional[int] = None,
+        metric=None,
     ):
         import jax.numpy as jnp
 
@@ -63,8 +69,21 @@ class NUTS:
         self.target = target
         self.target_accept_p = target_accept_p
         self.max_depth = max_depth
+        self.metric = metric
+        self._ctor = dict(
+            target_accept_p=target_accept_p, max_depth=max_depth,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+            warmup_max_depth=warmup_max_depth,
+        )
+        kernel_target, self._positions_map = target, None
+        if metric is not None:
+            from .models.precondition import precondition_target
+
+            kernel_target = precondition_target(target, metric)
+            self._positions_map = metric.to_x
+            initial_positions = metric.to_y(jnp.asarray(initial_positions))
         init_fn, prepare_fn, step_fn = nuts_kernel(
-            target, target_accept_p, max_depth,
+            kernel_target, target_accept_p, max_depth,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
             warmup_max_depth=warmup_max_depth,
         )
@@ -80,15 +99,31 @@ class NUTS:
         self._prepare_fn = jax.jit(prepare_fn, static_argnames=("n_discard",))
         self._step_fn = step_fn
         self._key = _fresh_key(seed)
-        self._runner = make_initial_recording_runner(
-            step_fn, tracker_update=stats_mod.tracker_update
+        positions_of = (
+            (lambda s: self._positions_map(s.positions))
+            if self._positions_map is not None else None
         )
+        runner_kw = dict(tracker_update=stats_mod.tracker_update)
+        if positions_of is not None:
+            runner_kw["positions_of"] = positions_of
+        self._runner = make_initial_recording_runner(step_fn, **runner_kw)
         # Chunked-progress path uses the simple convention; see run_progress.
         from .runner import make_simple_runner
 
-        self._simple_runner = make_simple_runner(
-            step_fn, tracker_update=stats_mod.tracker_update
-        )
+        self._simple_runner = make_simple_runner(step_fn, **runner_kw)
+
+    def reconditioned(self, kind: str = "diag", *, seed=None) -> "NUTS":
+        """New NUTS continuing from the current positions, whitened by a
+        metric estimated from the chain ensemble (one cross-chain
+        covariance snapshot — the lockstep analog of Stan's warmup
+        windows). Run a short adaptation first so the ensemble is in the
+        typical set; the new sampler re-runs step-size search in the
+        whitened space on its first ``run``."""
+        from .models.precondition import estimate_preconditioner
+
+        pre = estimate_preconditioner(self.positions, kind)
+        return NUTS(self.target, self.positions, metric=pre, seed=seed,
+                    **self._ctor)
 
     def seed(self, seed: int):
         self._key = jax.random.PRNGKey(seed)
@@ -102,6 +137,8 @@ class NUTS:
 
     @property
     def positions(self) -> jax.Array:
+        if self._positions_map is not None:
+            return self._positions_map(self.state.positions)
         return self.state.positions
 
     @property
@@ -149,7 +186,7 @@ class NUTS:
         # row is the current position and n_collect - 1 further steps are
         # recorded; otherwise it equals a simple run with one fewer discard.
         if n_discard == 0:
-            first = self.state.positions[:, None, :]
+            first = self.positions[:, None, :]
             self.state, rest = progress_run(
                 self._simple_runner,
                 self.state,

@@ -31,7 +31,7 @@ from .ops.gibbs import gibbs_kernel
 from .ops.hmc import hmc_kernel
 from .ops.mh import mh_kernel
 from .progress import progress_run
-from .runner import make_simple_runner
+from .runner import _default_positions_of, make_simple_runner
 
 
 def _fresh_key(seed: Optional[int]) -> jax.Array:
@@ -46,7 +46,8 @@ class _KernelSampler:
     #: collection convention; NUTS overrides (see ops/nuts.py)
     _record_initial = False
 
-    def __init__(self, init_fn, step_fn, initial_positions, seed=None):
+    def __init__(self, init_fn, step_fn, initial_positions, seed=None,
+                 positions_map=None):
         # Copy: run() donates the state buffers to XLA; the caller's array
         # must not be invalidated (and may be shared across samplers).
         initial_positions = jnp.array(initial_positions, copy=True)
@@ -58,11 +59,27 @@ class _KernelSampler:
         self.state = init_fn(initial_positions)
         self._step_fn = step_fn
         self._key = _fresh_key(seed)
+        # positions_map: optional [..., D] -> [..., D] map from the state's
+        # internal coordinates to user coordinates (metric whitening,
+        # models/precondition.py). Applied inside the collection scan (one
+        # fused op per recorded row) and to the `positions` property.
+        self._positions_map = positions_map
+        positions_of = (
+            (lambda s: positions_map(s.positions))
+            if positions_map is not None else _default_positions_of
+        )
         block_fn = getattr(step_fn, "block_fn", None)
         if block_fn is not None:
             # K fused sampler steps per kernel call (ops/hmc.py
             # steps_per_call); run() lengths must be multiples of K.
             from .runner import make_block_runner
+
+            if positions_map is not None:
+                raw_block = block_fn
+
+                def block_fn(state, key):
+                    state, rows = raw_block(state, key)
+                    return state, positions_map(rows)
 
             self._runner = make_block_runner(
                 block_fn, step_fn.block_size,
@@ -72,11 +89,13 @@ class _KernelSampler:
             # per-step runner instead (progress is interactive tooling —
             # the block kernel's throughput edge doesn't matter there).
             self._progress_runner = make_simple_runner(
-                step_fn, tracker_update=stats_mod.tracker_update
+                step_fn, positions_of=positions_of,
+                tracker_update=stats_mod.tracker_update,
             )
         else:
             self._runner = make_simple_runner(
-                step_fn, tracker_update=stats_mod.tracker_update
+                step_fn, positions_of=positions_of,
+                tracker_update=stats_mod.tracker_update,
             )
             self._progress_runner = self._runner
 
@@ -95,6 +114,8 @@ class _KernelSampler:
 
     @property
     def positions(self) -> jax.Array:
+        if self._positions_map is not None:
+            return self._positions_map(self.state.positions)
         return self.state.positions
 
     @property
@@ -170,22 +191,55 @@ class HMC(_KernelSampler):
 
     Mirrors ``HMC::new(target, initial_positions, step_size, n_leapfrog)``
     (/root/reference/src/hmc.rs:87-109).
+
+    ``metric``: optional :class:`~mini_mcmc_tpu.models.Preconditioner` —
+    runs the sampler in whitened coordinates ``y = L^-1 x`` (equivalent to
+    HMC with mass matrix ``(L L^T)^-1``; the reference has no metric).
+    ``initial_positions``, recorded samples, and ``.positions`` all stay in
+    x-space; the whitening is internal. See ``models/precondition.py``.
     """
 
     def __init__(self, target: Target, initial_positions, step_size: float,
                  n_leapfrog: int, seed: Optional[int] = None,
                  unroll: int = 8, use_pallas: bool = False,
                  pallas_interpret: bool = False, jitter: float = 0.0,
-                 steps_per_call: int = 1):
+                 steps_per_call: int = 1, metric=None):
         self.target = target
         self.step_size = step_size
         self.n_leapfrog = n_leapfrog
-        init_fn, step_fn = hmc_kernel(target, step_size, n_leapfrog,
+        self.metric = metric
+        self._ctor = dict(step_size=step_size, n_leapfrog=n_leapfrog,
+                          unroll=unroll, use_pallas=use_pallas,
+                          pallas_interpret=pallas_interpret, jitter=jitter,
+                          steps_per_call=steps_per_call)
+        kernel_target, positions_map = target, None
+        if metric is not None:
+            from .models.precondition import precondition_target
+
+            kernel_target = precondition_target(target, metric)
+            positions_map = metric.to_x
+            initial_positions = metric.to_y(
+                jnp.asarray(initial_positions)
+            )
+        init_fn, step_fn = hmc_kernel(kernel_target, step_size, n_leapfrog,
                                       unroll=unroll, use_pallas=use_pallas,
                                       pallas_interpret=pallas_interpret,
                                       jitter=jitter,
                                       steps_per_call=steps_per_call)
-        super().__init__(init_fn, step_fn, initial_positions, seed)
+        super().__init__(init_fn, step_fn, initial_positions, seed,
+                         positions_map=positions_map)
+
+    def reconditioned(self, kind: str = "diag", *, seed=None) -> "HMC":
+        """New HMC continuing from the current positions, whitened by a
+        metric estimated from the chain ensemble (one cross-chain
+        covariance snapshot — the lockstep analog of Stan's warmup
+        windows). Run a short warmup first so the ensemble is in the
+        typical set. ``kind``: ``"diag"`` or ``"dense"``."""
+        from .models.precondition import estimate_preconditioner
+
+        pre = estimate_preconditioner(self.positions, kind)
+        return HMC(self.target, self.positions, metric=pre,
+                   seed=seed, **self._ctor)
 
 
 class GibbsSampler(_KernelSampler):

@@ -29,6 +29,7 @@ def _run_example(name):
         "minimal_nuts",
         "mixture_gibbs",
         "logistic_regression_nuts",
+        "metric_nuts",
     ],
 )
 def test_example(name):
