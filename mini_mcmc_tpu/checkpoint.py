@@ -54,7 +54,7 @@ def _tree_to_host(tree: Any):
 
 
 def save_checkpoint(path: str, state: Any, key: jax.Array | None = None,
-                    *, backend: str = "auto") -> None:
+                    *, backend: str = "auto", extra: Any = None) -> None:
     """Save a sampler state pytree (and optionally the PRNG key) to ``path``.
 
     ``backend``: ``"auto"`` (orbax when importable, else npz), ``"orbax"``
@@ -63,6 +63,10 @@ def save_checkpoint(path: str, state: Any, key: jax.Array | None = None,
     checkpoint directory) or ``<path>.npz``. Works for any of the
     framework's state pytrees; sharded leaves are gathered to host first,
     so the checkpoint is independent of the saving run's mesh.
+
+    ``extra``: optional side pytree stored alongside (``save_sampler`` uses
+    it to record the sampler's metric so ``restore_sampler`` can reject a
+    coordinate-system mismatch).
     """
     if backend not in ("auto", "orbax", "npz"):
         raise ValueError(f"unknown checkpoint backend {backend!r}")
@@ -73,6 +77,8 @@ def save_checkpoint(path: str, state: Any, key: jax.Array | None = None,
     payload = {"state": state}
     if key is not None:
         payload["key"] = key
+    if extra is not None:
+        payload["extra"] = extra
     # The allgather inside _tree_to_host is a collective: ALL processes
     # must run it. So is the orbax save below (it opens and closes with
     # global process barriers — a lone process-0 call would hang forever
@@ -108,14 +114,7 @@ def save_checkpoint(path: str, state: Any, key: jax.Array | None = None,
             shutil.rmtree(orbax_dir)
 
 
-def load_checkpoint(path: str):
-    """Load a checkpoint saved by :func:`save_checkpoint` (either backend;
-    the on-disk format is auto-detected).
-
-    Returns ``(state, key)`` where ``key`` is ``None`` if it was not saved.
-    Arrays come back as device arrays (committed to the default device);
-    re-shard with ``parallel.shard_sampler_state`` to place them on a mesh.
-    """
+def _load_payload(path: str):
     with open(path + ".tree", "rb") as f:
         treedef = pickle.load(f)
     orbax_dir = os.path.abspath(path) + ".orbax"
@@ -130,13 +129,44 @@ def load_checkpoint(path: str):
         with np.load(path + ".npz") as data:
             leaves = [data[k] for k in data.files]
     payload = jax.tree_util.tree_unflatten(treedef, leaves)
-    payload = jax.tree_util.tree_map(jnp.asarray, payload)
+    return jax.tree_util.tree_map(jnp.asarray, payload)
+
+
+def load_checkpoint(path: str):
+    """Load a checkpoint saved by :func:`save_checkpoint` (either backend;
+    the on-disk format is auto-detected).
+
+    Returns ``(state, key)`` where ``key`` is ``None`` if it was not saved.
+    Arrays come back as device arrays (committed to the default device);
+    re-shard with ``parallel.shard_sampler_state`` to place them on a mesh.
+    """
+    payload = _load_payload(path)
     return payload["state"], payload.get("key")
 
 
+def _metric_record(sampler):
+    """The sampler's metric as a comparable pytree (None when unmetriced).
+
+    All leaves are arrays (strings don't round-trip through the array
+    backends): ``dense`` is 0/1 for diag/dense."""
+    metric = getattr(sampler, "metric", None)
+    if metric is None:
+        return None
+    arr = metric.scale if metric.kind == "diag" else metric.chol
+    return {"dense": jnp.asarray(metric.kind == "dense", jnp.int32),
+            "arr": jnp.asarray(arr)}
+
+
 def save_sampler(path: str, sampler, *, backend: str = "auto") -> None:
-    """Checkpoint a wrapper sampler (state pytree + PRNG key)."""
-    save_checkpoint(path, sampler.state, sampler._key, backend=backend)
+    """Checkpoint a wrapper sampler (state pytree + PRNG key).
+
+    For a metric-whitened sampler (``HMC``/``NUTS`` with ``metric=``) the
+    state is stored in its internal whitened coordinates and the metric is
+    recorded alongside, so :func:`restore_sampler` can reject restoring
+    into a sampler with a different coordinate system.
+    """
+    save_checkpoint(path, sampler.state, sampler._key, backend=backend,
+                    extra=_metric_record(sampler))
 
 
 def restore_sampler(path: str, sampler, *, mesh=None):
@@ -148,8 +178,36 @@ def restore_sampler(path: str, sampler, *, mesh=None):
     device count does not need to match).
 
     Raises ``ValueError`` when the checkpointed shapes don't match the
-    sampler's (different n_chains/dim/algorithm)."""
-    state, key = load_checkpoint(path)
+    sampler's (different n_chains/dim/algorithm), or when the checkpoint
+    was saved under a different metric than the restoring sampler's (the
+    state is stored in whitened coordinates — restoring it through a
+    different whitening map would silently mis-scale every position)."""
+    payload = _load_payload(path)
+    state, key = payload["state"], payload.get("key")
+    saved_metric = payload.get("extra")
+    cur_metric = _metric_record(sampler)
+    mismatch = (saved_metric is None) != (cur_metric is None)
+    if not mismatch and saved_metric is not None:
+        mismatch = (
+            int(saved_metric["dense"]) != int(cur_metric["dense"])
+            or saved_metric["arr"].shape != cur_metric["arr"].shape
+            or not bool(
+                jnp.allclose(saved_metric["arr"], cur_metric["arr"],
+                             rtol=1e-6)
+            )
+        )
+    if mismatch:
+        def _kind(rec):
+            if rec is None:
+                return None
+            return "dense" if int(rec["dense"]) else "diag"
+
+        raise ValueError(
+            "checkpoint metric does not match the sampler's "
+            f"(saved: {_kind(saved_metric)!r}, sampler: "
+            f"{_kind(cur_metric)!r}); construct the restoring sampler "
+            "with the same metric= the checkpoint was saved under"
+        )
 
     def check_and_cast(ref, new):
         if getattr(ref, "shape", ()) != getattr(new, "shape", ()):

@@ -159,3 +159,44 @@ def test_nuts_checkpoint_preserves_adaptation():
         restore_sampler(_ckpt_path(tmp), b)
         cont_b = b.run(15, 0)
     np.testing.assert_array_equal(np.asarray(cont_a), np.asarray(cont_b))
+
+
+def test_metric_sampler_checkpoint_roundtrip_and_mismatch_guard():
+    # A metric sampler's state lives in whitened coordinates; the saved
+    # metric must travel with the checkpoint, restore bit-exactly into a
+    # same-metric sampler, and REJECT a different-coordinate restore
+    # (which would silently mis-scale every position).
+    import jax.numpy as jnp
+
+    from mini_mcmc_tpu.models.precondition import Preconditioner
+
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    pre = Preconditioner(
+        kind="dense", chol=jnp.linalg.cholesky(jnp.asarray(
+            [[4.0, 2.0], [2.0, 3.0]]))
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        a = HMC(target, init_det(4, 2), 0.9, 8, metric=pre).seed(5)
+        a.run(10, 10)
+        save_sampler(_ckpt_path(tmp), a)
+        cont_a = a.run(15, 0)
+
+        b = HMC(target, init_det(4, 2), 0.9, 8, metric=pre).seed(6)
+        restore_sampler(_ckpt_path(tmp), b)
+        cont_b = b.run(15, 0)
+        np.testing.assert_array_equal(np.asarray(cont_a), np.asarray(cont_b))
+
+        # no metric on the restoring sampler -> rejected
+        plain = HMC(target, init_det(4, 2), 0.9, 8).seed(7)
+        with pytest.raises(ValueError, match="metric"):
+            restore_sampler(_ckpt_path(tmp), plain)
+        # different metric -> rejected
+        other = HMC(target, init_det(4, 2), 0.9, 8,
+                    metric=Preconditioner(
+                        kind="diag", scale=jnp.asarray([2.0, 1.7]))).seed(8)
+        with pytest.raises(ValueError, match="metric"):
+            restore_sampler(_ckpt_path(tmp), other)
+        # and the reverse: unmetriced checkpoint into a metric sampler
+        save_sampler(_ckpt_path(tmp) + "2", plain)
+        with pytest.raises(ValueError, match="metric"):
+            restore_sampler(_ckpt_path(tmp) + "2", a)
