@@ -170,3 +170,29 @@ def test_shard_chains_layout():
     x = jnp.zeros((32, 4))
     xs = shard_chains(mesh, x)
     assert xs.sharding.shard_shape(xs.shape) == (4, 4)
+
+
+def test_sharded_time_major_diagnostics_match():
+    # the time-major diagnostics path (jitted moment stage + chunked
+    # autocov slicing over the SHARDED chain axis) must agree with the
+    # chain-major result on the same sharded run
+    import jax.numpy as jnp
+
+    from mini_mcmc_tpu import split_rhat_mean_ess
+
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    proposal = isotropic_gaussian_proposal(1.0)
+    mh = MetropolisHastings(target, proposal, init_det(64, 2)).seed(3)
+    mesh = chain_mesh()
+    mh.state = shard_sampler_state(mesh, mh.state)
+    sample_tm = mh.run(400, 100, time_major=True)
+    assert sample_tm.shape == (400, 64, 2)
+    # chains axis (axis 1) stays sharded over the mesh
+    shard_devices = {s.device for s in sample_tm.addressable_shards}
+    assert len(shard_devices) == 8
+    rhat_tm, ess_tm = split_rhat_mean_ess(sample_tm, time_major=True)
+    rhat_cm, ess_cm = split_rhat_mean_ess(jnp.swapaxes(sample_tm, 0, 1))
+    np.testing.assert_allclose(np.asarray(rhat_tm), np.asarray(rhat_cm),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ess_tm), np.asarray(ess_cm),
+                               rtol=1e-3)
