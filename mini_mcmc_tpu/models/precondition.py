@@ -35,9 +35,9 @@ import jax.numpy as jnp
 
 from .base import Target
 
-#: dense dc-form wrapping is unrolled D^2 scalar ops inside the Pallas
-#: kernel; beyond this dimension leave the dc forms unwrapped (the XLA
-#: path still supports any D).
+#: dc-form wrapping unrolls into scalar ops inside the Pallas kernel
+#: (D for diag, D^2 for dense); beyond this dimension leave the dc forms
+#: unwrapped (the XLA path still supports any D).
 _DENSE_DC_MAX_DIM = 16
 
 
@@ -55,9 +55,36 @@ class Preconditioner:
     scale: jax.Array | None = None  # [D], kind == "diag"
     chol: jax.Array | None = None  # [D, D] lower-tri, kind == "dense"
 
+    def __post_init__(self):
+        if self.kind not in ("diag", "dense"):
+            raise ValueError(
+                f"kind must be 'diag' or 'dense', got {self.kind!r}"
+            )
+        arr = self.scale if self.kind == "diag" else self.chol
+        want = 1 if self.kind == "diag" else 2
+        if arr is None or getattr(arr, "ndim", None) != want:
+            raise ValueError(
+                f"kind={self.kind!r} needs a {want}-D "
+                f"{'scale' if want == 1 else 'chol'} array; got "
+                f"{type(arr).__name__}"
+            )
+
     @property
     def dim(self) -> int:
         return (self.scale if self.kind == "diag" else self.chol).shape[0]
+
+    def sigma_min(self) -> float:
+        """Smallest scale of the map (min singular value of L) — the
+        stiffest-direction width, used to rescale tuned step sizes into
+        whitened coordinates (``eps_y = eps_x / sigma_min`` keeps the
+        stability margin of the stiffest dimension)."""
+        import numpy as np
+
+        if self.kind == "diag":
+            return float(np.min(np.abs(np.asarray(self.scale))))
+        return float(
+            np.linalg.svd(np.asarray(self.chol), compute_uv=False)[-1]
+        )
 
     # -- maps on [..., D] (trailing feature axis) --------------------------
     def to_x(self, y: jax.Array) -> jax.Array:
@@ -108,7 +135,7 @@ def estimate_preconditioner(
         raise ValueError(
             f"positions must be [n_chains >= 2, D]; got shape {x.shape}"
         )
-    var = jnp.var(x, axis=0)
+    var = jnp.var(x, axis=0, ddof=1)  # sample moment, like the dense branch
     ridge = reg * jnp.mean(var) + 1e-30
     if kind == "diag":
         return Preconditioner(kind="diag", scale=jnp.sqrt(var + ridge))
@@ -122,15 +149,21 @@ def _wrap_dc_forms(target: Target, pre: Preconditioner):
     """Whiten the chains-on-lanes (``[D, ...]``) Pallas forms.
 
     Inside a Pallas kernel only elementwise/broadcast jnp ops are safe, so
-    the dense map is unrolled into D^2 scalar multiplies with Python-float
+    both maps are unrolled into scalar multiplies with Python-float
     coefficients (like the concrete-coefficient dc forms in
     ``models/gaussian.py``); dims beyond ``_DENSE_DC_MAX_DIM`` leave the dc
     forms out (``use_pallas`` then raises its usual requirement error).
+    Coefficients are fetched with ONE host transfer (per-element ``float()``
+    on device arrays would round-trip the tunnel D^2 times).
     """
     if target.logp_dc is None and target.grad_dc is None:
         return None, None
+    if pre.dim > _DENSE_DC_MAX_DIM:
+        return None, None
+    import numpy as np
+
     if pre.kind == "diag":
-        s = [float(v) for v in jnp.asarray(pre.scale)]
+        s = np.asarray(pre.scale).tolist()
 
         def x_dc(y_dc):
             return jnp.concatenate(
@@ -142,9 +175,7 @@ def _wrap_dc_forms(target: Target, pre: Preconditioner):
                 [(g_dc[d] * s[d])[None] for d in range(len(s))], axis=0
             )
     else:
-        if pre.dim > _DENSE_DC_MAX_DIM:
-            return None, None
-        ell = [[float(v) for v in row] for row in jnp.asarray(pre.chol)]
+        ell = np.asarray(pre.chol).tolist()
         d_ = len(ell)
 
         def x_dc(y_dc):

@@ -99,13 +99,12 @@ class NUTS:
         self._prepare_fn = jax.jit(prepare_fn, static_argnames=("n_discard",))
         self._step_fn = step_fn
         self._key = _fresh_key(seed)
-        positions_of = (
-            (lambda s: self._positions_map(s.positions))
-            if self._positions_map is not None else None
-        )
         runner_kw = dict(tracker_update=stats_mod.tracker_update)
-        if positions_of is not None:
-            runner_kw["positions_of"] = positions_of
+        if self._positions_map is not None:
+            # capture the bare map, not self: the lambda is baked into the
+            # jitted runner closure (samplers.py does the same)
+            pm = self._positions_map
+            runner_kw["positions_of"] = lambda s: pm(s.positions)
         self._runner = make_initial_recording_runner(step_fn, **runner_kw)
         # Chunked-progress path uses the simple convention; see run_progress.
         from .runner import make_simple_runner
@@ -118,12 +117,17 @@ class NUTS:
         covariance snapshot — the lockstep analog of Stan's warmup
         windows). Run a short adaptation first so the ensemble is in the
         typical set; the new sampler re-runs step-size search in the
-        whitened space on its first ``run``."""
+        whitened space on its first ``run``. Without ``seed`` the new
+        sampler's key derives from this sampler's stream, keeping a fully
+        seeded workflow reproducible end-to-end."""
         from .models.precondition import estimate_preconditioner
 
         pre = estimate_preconditioner(self.positions, kind)
-        return NUTS(self.target, self.positions, metric=pre, seed=seed,
-                    **self._ctor)
+        new = NUTS(self.target, self.positions, metric=pre, seed=seed,
+                   **self._ctor)
+        if seed is None:
+            new._key = self._next_key()
+        return new
 
     def seed(self, seed: int):
         self._key = jax.random.PRNGKey(seed)

@@ -229,17 +229,36 @@ class HMC(_KernelSampler):
         super().__init__(init_fn, step_fn, initial_positions, seed,
                          positions_map=positions_map)
 
-    def reconditioned(self, kind: str = "diag", *, seed=None) -> "HMC":
+    def reconditioned(self, kind: str = "diag", *, seed=None,
+                      step_size=None, n_leapfrog=None) -> "HMC":
         """New HMC continuing from the current positions, whitened by a
         metric estimated from the chain ensemble (one cross-chain
         covariance snapshot — the lockstep analog of Stan's warmup
         windows). Run a short warmup first so the ensemble is in the
-        typical set. ``kind``: ``"diag"`` or ``"dense"``."""
+        typical set. ``kind``: ``"diag"`` or ``"dense"``.
+
+        The step size moves to whitened units: by default
+        ``eps_y = eps_x / sigma_min(metric)``, which keeps the stiffest
+        dimension's stability margin (an x-space-tuned eps carried over
+        unchanged would blow up leapfrog energy once the scales are far
+        from 1); pass ``step_size``/``n_leapfrog`` to override. Without
+        ``seed`` the new sampler's key derives from this sampler's stream,
+        so a fully seeded workflow stays reproducible end-to-end."""
         from .models.precondition import estimate_preconditioner
 
         pre = estimate_preconditioner(self.positions, kind)
-        return HMC(self.target, self.positions, metric=pre,
-                   seed=seed, **self._ctor)
+        ctor = dict(self._ctor)
+        ctor["step_size"] = (
+            step_size if step_size is not None
+            else ctor["step_size"] / pre.sigma_min()
+        )
+        if n_leapfrog is not None:
+            ctor["n_leapfrog"] = n_leapfrog
+        new = HMC(self.target, self.positions, metric=pre, seed=seed,
+                  **ctor)
+        if seed is None:
+            new._key = self._next_key()
+        return new
 
 
 class GibbsSampler(_KernelSampler):

@@ -213,3 +213,49 @@ def test_metric_pallas_trajectory_matches_xla():
             pallas_interpret=True).seed(1).run(50, 10)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
                                atol=2e-6)
+
+
+def test_preconditioner_validates_construction():
+    with pytest.raises(ValueError, match="kind"):
+        Preconditioner(kind="Diag", scale=jnp.ones(2))
+    with pytest.raises(ValueError, match="chol"):
+        Preconditioner(kind="dense", scale=jnp.ones(2))
+    with pytest.raises(ValueError, match="scale"):
+        Preconditioner(kind="diag", chol=jnp.eye(2))
+
+
+def test_reconditioned_rescales_step_size_for_wide_targets():
+    # an x-space-tuned step size carried into whitened coordinates
+    # unchanged would blow up leapfrog energy; the default rescale
+    # eps_y = eps_x / sigma_min keeps the stiffest dimension's margin
+    from mini_mcmc_tpu.models import gaussian2d as _  # noqa: F401
+    from mini_mcmc_tpu.models.base import Target
+
+    def logp_batch(x):
+        return -0.5 * jnp.sum((x / 100.0) ** 2, axis=-1)
+
+    wide = Target(logp=lambda x: -0.5 * jnp.sum((x / 100.0) ** 2),
+                  logp_batch=logp_batch)
+    hmc = HMC(wide, init_det(128, 2) * 100.0, 50.0, 8).seed(12)
+    hmc.run(0, 300)
+    tuned = hmc.reconditioned("diag")
+    assert 0.2 < tuned.step_size < 1.5, tuned.step_size  # ~50/sigma(~100)
+    s = tuned.run(400, 0)
+    flat = np.asarray(s).reshape(-1, 2)
+    # healthy mixing at scale 100 (a frozen sampler would keep warmup std)
+    assert 75.0 < flat.std() < 130.0, flat.std()
+
+
+def test_reconditioned_is_deterministic_without_seed():
+    # the README workflow (seed -> warmup -> reconditioned -> run) must be
+    # reproducible end-to-end: the derived sampler's key comes from the
+    # parent's stream, not OS entropy
+    target = diffable_gaussian2d([0.0, 1.0], COV)
+
+    def workflow():
+        hmc = HMC(target, init_det(32, 2), 0.25, 8).seed(21)
+        hmc.run(0, 100)
+        return hmc.reconditioned("dense").run(50, 0)
+
+    np.testing.assert_array_equal(np.asarray(workflow()),
+                                  np.asarray(workflow()))
