@@ -41,16 +41,19 @@ import jax.numpy as jnp
 from mini_mcmc_tpu import HMC, NUTS, init_with_seed, split_rhat_mean_ess
 from mini_mcmc_tpu.models import diffable_gaussian2d, rosenbrock_nd
 
-N_CHAINS = 98304  # v5e chain-count sweep (2026-08): ESS/s climbs with
-# chains until HBM runs out (1.79e8 @8k/4096 -> 2.49e8 @16k -> 3.44e8 @65k
-# -> 3.68e8 @98k). 98k only fits with the time-major layout (the
-# [C,steps,D] transpose would materialize a second sample cube; see
-# docs/design.md "Memory layout"); 114688 and 131072 exhaust HBM even
-# time-major.
+N_CHAINS = 65536  # v5e (chains x draws) sweep (2026-08): ESS/s climbs
+# with chains and with draws-per-dispatch until HBM runs out (1.79e8
+# @8k/4096 -> 2.49e8 @16k -> 3.44e8 @65k/4096 -> 3.64e8 @98k/4096 ->
+# 3.72e8 @65k/8192). Both big configs only fit with the time-major layout
+# (the [C,steps,D] transpose would materialize a second sample cube; see
+# docs/design.md "Memory layout"); 114688/4096, 131072/4096 and 98304/8192
+# exhaust HBM even time-major. 65k/8192 edges out 98k/4096: same cube
+# bytes, smaller state, and the per-dispatch overhead amortizes over 2x
+# the steps.
 DIM = 3
 STEP_SIZE = 0.02
 N_LEAPFROG = 192
-N_COLLECT = 4096  # burn-in happens via a first (discarded) collect run
+N_COLLECT = 8192  # burn-in happens via a first (discarded) collect run
 JITTER = 0.3  # per-step step-size jitter: fixed (eps, L) resonances make
 # ESS wildly seed-dependent on Rosenbrock; jitter stabilizes ESS to ~1%
 # across seeds (Neal 2011)
