@@ -259,3 +259,19 @@ def test_reconditioned_is_deterministic_without_seed():
 
     np.testing.assert_array_equal(np.asarray(workflow()),
                                   np.asarray(workflow()))
+
+
+def test_metric_run_progress_is_x_space():
+    # the progress path builds its own runner; it must un-whiten too
+    import io
+
+    target = diffable_gaussian2d([0.0, 1.0], COV)
+    nuts = NUTS(target, init_det(16, 2), 0.8, metric=_dense_pre()).seed(14)
+    sample, stats = nuts.run_progress(60, 20, stream=io.StringIO())
+    assert sample.shape == (16, 60, 2)
+    flat = np.asarray(sample).reshape(-1, 2)
+    assert flat[:, 0].std() > 1.2, flat[:, 0].std()  # x-space scale (std 2)
+    hmc = HMC(target, init_det(16, 2), 0.9, 8, metric=_dense_pre()).seed(15)
+    sample, _ = hmc.run_progress(60, 20, stream=io.StringIO())
+    flat = np.asarray(sample).reshape(-1, 2)
+    assert flat[:, 0].std() > 1.2, flat[:, 0].std()

@@ -64,6 +64,18 @@ for label, kw in [("pallas", {"use_pallas": True}),
     nuts = NUTS(target, init_with_seed(1024, 2, seed=5), 0.8, **kw).seed(5)
     out["nuts_" + label] = summarize(nuts.run(1024, 128))
 
+# Metric x fused kernel: the dc-form whitening wrappers
+# (models/precondition.py) drive the hardware-PRNG full-step kernel; the
+# whitened dynamics must stay statistically correct on hardware.
+from mini_mcmc_tpu.models import estimate_preconditioner
+
+warm = HMC(target, init_with_seed(2048, 2, seed=13), 0.1, 10).seed(13)
+warm.run(0, 500)
+pre = estimate_preconditioner(warm.positions, "dense")
+hmc_m = HMC(target, warm.positions, 0.6, 8, use_pallas="full",
+            metric=pre).seed(13)
+out["hmc_metric_pallas"] = summarize(hmc_m.run(1000, 500))
+
 # Fused MH (ops/pallas/mh_full.py): continuous (isotropic Gaussian walk on
 # the same correlated target, via its unnormalized form) and discrete
 # (+-1 walk on Poisson(4), /root/reference/tests/metrohast_poisson_test.rs).
@@ -171,3 +183,11 @@ def test_tpu_mh_pallas_discrete_pmf(tpu_results):
     # (metrohast_poisson_test.rs:124-129); the Lanczos in-kernel log-gamma
     # deviation (~2e-4 absolute) is far inside it
     assert tpu_results["poisson_pallas_pmf_err"] < 0.05, tpu_results
+
+
+def test_tpu_hmc_metric_pallas_quality(tpu_results):
+    # dense metric through the fused hardware-PRNG kernel: the whitened
+    # unit-scale dynamics decorrelate much faster per draw than the plain
+    # fused run while hitting the same x-space moments
+    r = tpu_results["hmc_metric_pallas"]
+    _check_quality(r, eff_floor=0.10)
