@@ -18,17 +18,21 @@ except Exception:  # pragma: no cover - environment without pyarrow
     _HAVE_PYARROW = False
 
 
-def _cube_to_table(arr: np.ndarray):
-    n_chains, n_obs, n_dims = arr.shape
-    chain_idx = np.repeat(np.arange(n_chains, dtype=np.uint32), n_obs)
-    obs_idx = np.tile(np.arange(n_obs, dtype=np.uint32), n_chains)
-    flat = arr.reshape(n_chains * n_obs, n_dims).astype(np.float64)
+def _cube_to_table(arr: np.ndarray, leading=("chain", "observation")):
+    """``[n0, n1, n_dims]`` cube -> the reference export table: two uint32
+    index columns named ``leading`` (major axis first) + float64 ``dim_*``
+    columns. The single copy of the schema shared by the Arrow AND Parquet
+    exporters (parity target: io/arrow.rs:53-117, io/parquet.rs:49-221)."""
+    n0, n1, n_dims = arr.shape
+    major_idx = np.repeat(np.arange(n0, dtype=np.uint32), n1)
+    minor_idx = np.tile(np.arange(n1, dtype=np.uint32), n0)
+    flat = arr.reshape(n0 * n1, n_dims).astype(np.float64)
     fields = [
-        pa.field("chain", pa.uint32(), nullable=False),
-        pa.field("observation", pa.uint32(), nullable=False),
+        pa.field(leading[0], pa.uint32(), nullable=False),
+        pa.field(leading[1], pa.uint32(), nullable=False),
     ] + [pa.field(f"dim_{i}", pa.float64(), nullable=False) for i in range(n_dims)]
     schema = pa.schema(fields)
-    arrays = [pa.array(chain_idx), pa.array(obs_idx)] + [
+    arrays = [pa.array(major_idx), pa.array(minor_idx)] + [
         pa.array(flat[:, i]) for i in range(n_dims)
     ]
     return pa.Table.from_arrays(arrays, schema=schema)

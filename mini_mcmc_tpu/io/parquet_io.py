@@ -12,7 +12,6 @@ from __future__ import annotations
 import numpy as np
 
 try:
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
     _HAVE_PYARROW = True
@@ -31,18 +30,9 @@ def save_parquet(data, filename: str) -> None:
     arr = np.asarray(data)
     if arr.ndim != 3:
         raise ValueError(f"expected [chains, observations, dims], got {arr.shape}")
-    n_chains, n_obs, n_dims = arr.shape
-    chain_idx = np.repeat(np.arange(n_chains, dtype=np.uint32), n_obs)
-    obs_idx = np.tile(np.arange(n_obs, dtype=np.uint32), n_chains)
-    flat = arr.reshape(n_chains * n_obs, n_dims).astype(np.float64)
-    fields = [
-        pa.field("chain", pa.uint32(), nullable=False),
-        pa.field("observation", pa.uint32(), nullable=False),
-    ] + [pa.field(f"dim_{i}", pa.float64(), nullable=False) for i in range(n_dims)]
-    arrays = [pa.array(chain_idx), pa.array(obs_idx)] + [
-        pa.array(flat[:, i]) for i in range(n_dims)
-    ]
-    pq.write_table(pa.Table.from_arrays(arrays, schema=pa.schema(fields)), filename)
+    from .arrow_io import _cube_to_table
+
+    pq.write_table(_cube_to_table(arr), filename)
 
 
 def save_parquet_tensor(tensor, filename: str) -> None:
@@ -52,15 +42,8 @@ def save_parquet_tensor(tensor, filename: str) -> None:
     arr = np.asarray(tensor)
     if arr.ndim != 3:
         raise ValueError(f"expected [observations, chains, dims], got {arr.shape}")
-    n_obs, n_chains, n_dims = arr.shape
-    obs_idx = np.repeat(np.arange(n_obs, dtype=np.uint32), n_chains)
-    chain_idx = np.tile(np.arange(n_chains, dtype=np.uint32), n_obs)
-    flat = arr.reshape(n_obs * n_chains, n_dims).astype(np.float64)
-    fields = [
-        pa.field("observation", pa.uint32(), nullable=False),
-        pa.field("chain", pa.uint32(), nullable=False),
-    ] + [pa.field(f"dim_{i}", pa.float64(), nullable=False) for i in range(n_dims)]
-    arrays = [pa.array(obs_idx), pa.array(chain_idx)] + [
-        pa.array(flat[:, i]) for i in range(n_dims)
-    ]
-    pq.write_table(pa.Table.from_arrays(arrays, schema=pa.schema(fields)), filename)
+    from .arrow_io import _cube_to_table
+
+    pq.write_table(
+        _cube_to_table(arr, leading=("observation", "chain")), filename
+    )

@@ -62,16 +62,28 @@ def poisson_target(lam) -> Target:
         lp = kf * log_lam - lam - jax.lax.lgamma(kf + 1.0)
         return jnp.where(k < 0, -jnp.inf, lp)
 
-    def logp_dc(pos_dc):
-        # fused-Pallas form: Mosaic cannot lower lax.lgamma, so the
-        # log-factorial uses the Lanczos series (utils/mathx, ~1e-5 rel
-        # deviation from lax.lgamma — far inside the pmf tolerances).
-        from ..utils.mathx import lgamma_positive
+    # Pallas coefficients must be Python floats baked at construction; a
+    # traced lam (target built under jit/vmap over hyperparameters) drops
+    # the dc form so use_pallas raises its clean requirement error instead
+    # of an opaque ConcretizationTypeError mid-kernel-trace (same guard as
+    # models/gaussian._concrete_floats).
+    from .gaussian import _concrete_floats
 
-        k = pos_dc[0]
-        kf = k.astype(jnp.float32)
-        lp = kf * float(log_lam) - float(lam) - lgamma_positive(kf + 1.0)
-        return jnp.where(k < 0, -jnp.inf, lp)
+    coeffs = _concrete_floats(log_lam, lam)
+    logp_dc = None
+    if coeffs is not None:
+        log_lam_f, lam_f = coeffs
+
+        def logp_dc(pos_dc):
+            # fused-Pallas form: Mosaic cannot lower lax.lgamma, so the
+            # log-factorial uses the Lanczos series (utils/mathx, ~1e-5 rel
+            # deviation from lax.lgamma — far inside the pmf tolerances).
+            from ..utils.mathx import lgamma_positive
+
+            k = pos_dc[0]
+            kf = k.astype(jnp.float32)
+            lp = kf * log_lam_f - lam_f - lgamma_positive(kf + 1.0)
+            return jnp.where(k < 0, -jnp.inf, lp)
 
     return Target(logp=logp, logp_dc=logp_dc)
 

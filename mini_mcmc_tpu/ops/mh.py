@@ -66,9 +66,13 @@ def mh_kernel(target: Target, proposal: Proposal, *,
             )
         from .pallas.mh_full import make_pallas_mh_multistep
 
+        # K=1 driver: compile the history output out (the returned
+        # positions ARE the step's sample row; a discarded pallas output
+        # would still be allocated and written — outputs are opaque to
+        # XLA DCE).
         pallas_single = make_pallas_mh_multistep(
             target.logp_dc, proposal.propose_dc, 1,
-            interpret=pallas_interpret,
+            interpret=pallas_interpret, with_history=False,
         )
         if steps_per_call > 1:
             pallas_multistep = make_pallas_mh_multistep(
@@ -83,7 +87,7 @@ def mh_kernel(target: Target, proposal: Proposal, *,
         n_chains = state.positions.shape[0]
         if pallas_single is not None:
             seed = key_to_seed(key)
-            positions, logp, _ = pallas_single(
+            positions, logp = pallas_single(
                 state.positions, state.logp, seed
             )
             return MHState(positions=positions, logp=logp)

@@ -509,10 +509,12 @@ def _nuts_step_batched(
         start_grad = jnp.where(neg, grad_minus, grad_plus)
 
         if pallas_subtree is not None:
-            tree_seed = jax.random.key_data(
+            # full 64-bit step key as two int32 words (xor-folding to one
+            # word birthday-collides streams after ~2^16 steps; see
+            # _hash_unit in ops/pallas/nuts_subtree.py)
+            seed = jax.random.key_data(
                 jax.random.fold_in(key_tree, j)
-            ).astype(jnp.uint32)
-            seed = (tree_seed[..., 0] ^ tree_seed[..., 1]).astype(jnp.int32)
+            ).astype(jnp.uint32).astype(jnp.int32).reshape(2)
             res = _TreeResult(*pallas_subtree(
                 start_pos, start_mom, start_grad,
                 logu, v, j, state.epsilon, joint, s, seed,

@@ -53,6 +53,7 @@ def make_pallas_mh_multistep(
     *,
     block_c: int = 8192,
     interpret: bool = False,
+    with_history: bool = True,
 ):
     """Build the fused K-step MH block function.
 
@@ -67,12 +68,15 @@ def make_pallas_mh_multistep(
         k_steps: complete MH updates fused per kernel invocation.
 
     Returns ``step(pos [C, D], logp [C], seed int32[2]) ->
-    (pos' [C, D], logp' [C], hist [K, C, D])``.
+    (pos' [C, D], logp' [C], hist [K, C, D])``. ``with_history=False``
+    compiles the history output out entirely (and drops it from the
+    return) — for K=1 driving, where the returned positions already are
+    the step's sample row and pallas outputs are opaque to XLA DCE.
     """
     if k_steps < 1:
         raise ValueError(f"k_steps must be >= 1, got {k_steps}")
 
-    def kernel(seed_ref, pos_ref, logp_ref, pos_out, logp_out, hist_out):
+    def kernel(seed_ref, pos_ref, logp_ref, pos_out, logp_out, *hist_outs):
         # full 64-bit step key (two scalars; Mosaic caps prng_seed at two
         # values); the block id is mixed into word 0 so grid blocks draw
         # independent streams.
@@ -89,7 +93,8 @@ def make_pallas_mh_multistep(
             accept = (lp - logp) > jnp.log(u)
             pos = jnp.where(accept[None], prop, pos)
             logp = jnp.where(accept, lp, logp)
-            hist_out[pl.ds(k, 1)] = pos[None]
+            if with_history:
+                hist_outs[0][pl.ds(k, 1)] = pos[None]
             return pos, logp
 
         pos_f, logp_f = lax.fori_loop(
@@ -129,20 +134,29 @@ def make_pallas_mh_multistep(
             seed_spec = pl.BlockSpec((2,), lambda i: (0,),
                                      memory_space=pltpu.SMEM)
 
-        pos_o, logp_o, hist_o = pl.pallas_call(
+        out_specs = [dc_spec, lp_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct(shape3, dtype),
+            jax.ShapeDtypeStruct((8, c // 8), lp_dtype),
+        ]
+        if with_history:
+            out_specs.append(hist_spec)
+            out_shape.append(
+                jax.ShapeDtypeStruct((k_steps,) + shape3, dtype)
+            )
+        outs = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[seed_spec, dc_spec, lp_spec],
-            out_specs=(dc_spec, lp_spec, hist_spec),
-            out_shape=(
-                jax.ShapeDtypeStruct(shape3, dtype),
-                jax.ShapeDtypeStruct((8, c // 8), lp_dtype),
-                jax.ShapeDtypeStruct((k_steps,) + shape3, dtype),
-            ),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             interpret=interpret,
         )(seed_arr, pos_p, logp_p)
 
-        hist = jnp.swapaxes(hist_o.reshape(k_steps, d, c), 1, 2)
-        return pos_o.reshape(d, c).T, logp_o.reshape(c), hist
+        flat = (outs[0].reshape(d, c).T, outs[1].reshape(c))
+        if not with_history:
+            return flat
+        hist = jnp.swapaxes(outs[2].reshape(k_steps, d, c), 1, 2)
+        return flat + (hist,)
 
     return step

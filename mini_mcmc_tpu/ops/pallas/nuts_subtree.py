@@ -40,14 +40,28 @@ except Exception:  # pragma: no cover
 _DELTA = 1000.0
 
 
-def _hash_unit(seed, event, lane_id):
-    """Counter-based uniform in (0, 1): murmur3-finalizer on int32 lanes."""
-    x = lane_id ^ (seed + event * jnp.int32(-0x61C88647))  # 0x9E3779B9
+def _mix32(x):
+    """murmur3 finalizer on int32 lanes."""
     x = x ^ (x >> 16)
     x = x * jnp.int32(-0x7A143595)  # 0x85EBCA6B
     x = x ^ (x >> 13)
     x = x * jnp.int32(-0x3D4D51CB)  # 0xC2B2AE35
-    x = x ^ (x >> 16)
+    return x ^ (x >> 16)
+
+
+def _hash_unit(seed0, seed1, event, lane_id):
+    """Counter-based uniform in (0, 1) from the FULL 64-bit step key.
+
+    Both key words enter the state through separate mix rounds: folding the
+    key to one 32-bit word first would birthday-collide the per-step
+    streams after ~2^16 sampler steps (identical merge-swap draws across
+    two steps for every chain) — the exact aliasing the fused HMC/MH
+    kernels' seeding policy documents and avoids
+    (ops/pallas/hmc_full.py seeding note).
+    """
+    x = lane_id ^ (seed0 + event * jnp.int32(-0x61C88647))  # 0x9E3779B9
+    x = _mix32(x)
+    x = _mix32(x ^ seed1)
     # 24 positive bits -> (0, 1)
     u24 = (x & jnp.int32(0x7FFFFFFF)) >> 7
     return u24.astype(jnp.float32) * (1.0 / 16777216.0) + (1.0 / 33554432.0)
@@ -78,7 +92,7 @@ def make_pallas_subtree(
     """Build the fused subtree function.
 
     Returns ``subtree(pos, mom, grad [C, D], logu [C], v [C] int32,
-    j int32 scalar, eps [C], joint0 [C], active [C] bool, seed int32) ->
+    j int32 scalar, eps [C], joint0 [C], active [C] bool, seed int32[2]) ->
     (end_pos, end_mom, end_grad [C, D], prop_pos, prop_grad [C, D],
     prop_logp [C], n [C] i32, s [C] bool, alpha [C], n_alpha [C] i32,
     diverged [C] bool)`` — the `_TreeResult` contract of
@@ -93,7 +107,8 @@ def make_pallas_subtree(
         d = pos_ref.shape[0]
         lanes = pos_ref.shape[1:]  # (8, bc8)
         j = j_ref[0]
-        seed = seed_ref[0]
+        seed0 = seed_ref[0]
+        seed1 = seed_ref[1]
         n_leaves = jnp.int32(1) << j
 
         eps_signed = eps_ref[:] * v_ref[:]  # [8, bc8]
@@ -146,7 +161,8 @@ def make_pallas_subtree(
                 a_row = stack[pl.ds(ia, 1)][0]
                 n_a = a_row[4 * d + 1]
                 n_b = top[4 * d + 1]
-                u = _hash_unit(seed, i * (max_depth + 1) + k, lane_id)
+                u = _hash_unit(seed0, seed1, i * (max_depth + 1) + k,
+                               lane_id)
                 take_b = u < n_b / jnp.maximum(n_a + n_b, 1.0)
 
                 # U-turn between A.first and the current (last) state,
@@ -226,15 +242,18 @@ def make_pallas_subtree(
         lp_spec = pl.BlockSpec((8, bc8), lambda i: (0, i))
         if interpret:
             s_spec = pl.BlockSpec((1,), lambda i: (0,))
+            seed_spec = pl.BlockSpec((2,), lambda i: (0,))
         else:
             s_spec = pl.BlockSpec((1,), lambda i: (0,),
                                   memory_space=pltpu.SMEM)
+            seed_spec = pl.BlockSpec((2,), lambda i: (0,),
+                                     memory_space=pltpu.SMEM)
 
         f32 = jnp.float32
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[s_spec, s_spec,
+            in_specs=[s_spec, seed_spec,
                       dc_spec, dc_spec, dc_spec,
                       lp_spec, lp_spec, lp_spec, lp_spec, lp_spec],
             out_specs=(dc_spec, dc_spec, dc_spec, dc_spec, dc_spec,
@@ -258,7 +277,7 @@ def make_pallas_subtree(
             interpret=interpret,
         )(
             jnp.asarray(j, jnp.int32).reshape(1),
-            jnp.asarray(seed, jnp.int32).reshape(1),
+            jnp.asarray(seed, jnp.int32).reshape(2),
             pk(pos), pk(mom), pk(grad),
             pkc(logu), pkc(v.astype(f32)), pkc(eps), pkc(joint0),
             pkc(active.astype(f32)),

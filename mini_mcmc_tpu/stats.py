@@ -481,16 +481,33 @@ class BasicStats:
 
 def basic_stats(name: str, data) -> BasicStats:
     """Summary preserving the reference's descending-sort median index
-    ``data[len/2]`` and ddof=1 std (stats.rs:310-336)."""
+    ``data[len/2]`` and ddof=1 std (stats.rs:310-336).
+
+    The sort replicates the reference comparator ``b.partial_cmp(a)``
+    falling back to ``Ordering::Equal`` for NaN (stats.rs:312-316) via a
+    stable host sort: NaNs compare equal to everything and stay in place
+    — ``jnp.sort`` would instead push NaNs to one end, shifting the
+    reported max/median whenever degenerate chains make ESS/R-hat NaN.
+    (The arrays here are per-parameter summaries, so the host sort is a
+    few elements.)"""
+    import functools
+    import math
+
     data = jnp.asarray(data, jnp.float32).ravel()
-    desc = jnp.sort(data)[::-1]
     n = data.shape[0]
+
+    def _cmp(a, b):  # descending; NaN == anything (stats.rs:312-316)
+        if math.isnan(a) or math.isnan(b):
+            return 0
+        return (a < b) - (a > b)
+
+    desc = sorted((float(v) for v in data), key=functools.cmp_to_key(_cmp))
     std = float(jnp.std(data, ddof=1)) if n > 1 else 0.0
     return BasicStats(
         name=name,
-        min=float(desc[-1]),
-        median=float(desc[n // 2]),
-        max=float(desc[0]),
+        min=desc[-1],
+        median=desc[n // 2],
+        max=desc[0],
         mean=float(jnp.mean(data)),
         std=std,
     )

@@ -55,10 +55,11 @@ def step_timer(fn, *args, repeats: int = 3, **kwargs):
         t0 = time.monotonic()
         result = fn(*args, **kwargs)
         result = jax.block_until_ready(result)
-        # scalar fetch defeats early-returning block_until_ready on
-        # tunneled backends
+        # indexed scalar fetch defeats early-returning block_until_ready
+        # on tunneled backends; never ravel (see sync() — a tiled copy of
+        # a big cube pads the minor dim 42x and can OOM HBM)
         leaf = jax.tree_util.tree_leaves(result)[0]
-        _ = float(leaf.ravel()[-1])
+        _ = float(leaf[tuple(d - 1 for d in leaf.shape)])
         times.append(time.monotonic() - t0)
     times.sort()
     return result, times[len(times) // 2]

@@ -231,3 +231,23 @@ def test_neal_funnel_logp_and_grad():
         np.asarray(jax.vmap(t.logp)(jnp.stack([x, x * 0.3]))),
         rtol=1e-6,
     )
+
+
+def test_poisson_target_with_traced_lam_drops_dc_form():
+    # built under jit/vmap over hyperparameters, the Pallas coefficients
+    # can't be baked in: construction must still succeed with logp_dc=None
+    # (use_pallas then raises its clean requirement error), and the XLA
+    # path must work
+    import jax
+
+    from mini_mcmc_tpu.models import poisson_target
+
+    def build_logp(lam, k):
+        t = poisson_target(lam)
+        assert t.logp_dc is None
+        return t.logp(k)
+
+    out = jax.jit(build_logp)(4.0, jnp.array([3], jnp.int32))
+    ref = poisson_target(4.0).logp(jnp.array([3], jnp.int32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    assert poisson_target(4.0).logp_dc is not None

@@ -202,7 +202,8 @@ def test_pallas_subtree_matches_xla_on_golden_case():
     sub = make_pallas_subtree(target.grad_dc, target.logp_dc, 10,
                               interpret=interp)
     (end_pos, _em, _eg, prop_pos, _pg, prop_logp, n, s, alpha, n_alpha,
-     _d) = sub(pos, mom, grad, logu, v, jnp.int32(3), eps, joint0, active, 0)
+     _d) = sub(pos, mom, grad, logu, v, jnp.int32(3), eps, joint0, active,
+               jnp.zeros(2, jnp.int32))
 
     np.testing.assert_allclose(
         np.asarray(end_pos[0]), [-0.1584001, 0.76208336], rtol=1e-4

@@ -214,3 +214,12 @@ def test_ess_chunked_autocov_matches_unchunked(monkeypatch):
                                np.asarray(rhat_full), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(ess_chunk),
                                np.asarray(ess_full), rtol=1e-4)
+
+
+def test_basic_stats_nan_ordering_matches_reference_comparator():
+    # stats.rs:312-316 sorts descending with partial_cmp falling back to
+    # Equal for NaN — NaNs compare equal to everything and stay in place;
+    # a NaN must not become the reported max (jnp.sort would put it there)
+    bs = S.basic_stats("ESS", [3.0, float("nan"), 1.0, 2.0])
+    assert bs.max == 3.0
+    assert bs.min == 1.0
