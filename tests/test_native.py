@@ -71,3 +71,37 @@ def test_native_pipeline_on_real_sampler_output():
     rhat_j, ess_j = S.split_rhat_mean_ess(jnp.asarray(sample))
     np.testing.assert_allclose(rhat_n, np.asarray(rhat_j), rtol=1e-3)
     np.testing.assert_allclose(ess_n, np.asarray(ess_j), rtol=5e-3)
+
+
+def test_native_pipeline_randomized_shape_sweep():
+    # randomized cross-validation across the dispatch-relevant shape axes:
+    # odd/even N, the n' <= 100 brute-force branch vs FFT, minimum C=2,
+    # single-parameter P, and different mixing speeds — every (shape,
+    # phi) cell must agree between the independent C++ implementation,
+    # the chain-major XLA path, and the time-major XLA path
+    rng = np.random.default_rng(7)
+    for c, n, p, phi in [
+        (2, 41, 1, 0.3),   # odd N, brute-force branch, min chains
+        (3, 200, 2, 0.9),  # slow mixing, FFT branch
+        (8, 201, 4, 0.0),  # iid, odd N, FFT branch
+        (5, 64, 3, -0.5),  # antithetic, brute-force branch
+    ]:
+        eps = rng.normal(size=(c, n, p))
+        x = np.empty((c, n, p), np.float32)
+        x[:, 0] = eps[:, 0]
+        for t in range(1, n):
+            x[:, t] = phi * x[:, t - 1] + eps[:, t]
+        rhat_n, ess_n = native.split_rhat_ess(x)
+        rhat_j, ess_j = S.split_rhat_mean_ess(jnp.asarray(x))
+        rhat_t, ess_t = S.split_rhat_mean_ess(
+            jnp.swapaxes(jnp.asarray(x), 0, 1), time_major=True
+        )
+        cfg = (c, n, p, phi)
+        np.testing.assert_allclose(rhat_n, np.asarray(rhat_j), rtol=1e-4,
+                                   err_msg=str(cfg))
+        np.testing.assert_allclose(ess_n, np.asarray(ess_j), rtol=5e-3,
+                                   err_msg=str(cfg))
+        np.testing.assert_allclose(np.asarray(rhat_t), np.asarray(rhat_j),
+                                   rtol=1e-5, err_msg=str(cfg))
+        np.testing.assert_allclose(np.asarray(ess_t), np.asarray(ess_j),
+                                   rtol=1e-3, err_msg=str(cfg))
