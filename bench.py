@@ -73,9 +73,12 @@ ROSEN3D_X0_VAR = 0.229370
 
 # NUTS secondary config: the reference quality-band target
 # (DiffableGaussian2D([0,1],[[4,2],[2,3]]), hmc.rs:632-700 family),
-# steady state after dual-averaging adaptation. Chain-count sweep on v5e
-# (2026-08): 2.7e7 ESS/s @8k -> 4.8e7 @16k -> 7.3e7 @32k -> 8.5e7 @65k.
-NUTS_CHAINS = 65536
+# steady state after dual-averaging adaptation. With the fully-fused step
+# kernel (use_pallas="full", ops/pallas/nuts_full.py) the step is no
+# longer overhead-bound: 2.6e8 ESS/s @65k -> 3.0e8 @131k on v5e (the
+# subtree-kernel path measured 8.5e7 @65k / 1.05e8 @131k; XLA tree about
+# half that), and the dense-metric variant reaches 4.5e8 @131k.
+NUTS_CHAINS = 131072
 NUTS_COLLECT = 2048
 NUTS_DISCARD = 128
 NUTS_MEAN = (0.0, 1.0)
@@ -156,10 +159,12 @@ def bench_hmc_flagship() -> dict:
 def bench_nuts() -> dict:
     from mini_mcmc_tpu.ops.pallas import pallas_available
 
-    # Fused Pallas subtree kernel: 2.0x ESS/s over the XLA tree on this
-    # config (measured v5e, 2026-08: 2.77e7 vs 1.40e7, identical ESS/rhat);
-    # statistically validated by the gates below + tests/test_tpu_parity.py.
-    use_pallas = bool(pallas_available())
+    # Fully-fused step kernel (momentum/slice draws + doubling loop with
+    # early exit + subtrees + U-turn checks in ONE invocation): ~3x the
+    # subtree-kernel path, which itself was 2x the XLA tree — the lockstep
+    # NUTS step is overhead-bound, not compute-bound (nuts_full.py).
+    # Statistically validated by the gates below + tests/test_tpu_parity.py.
+    use_pallas = "full" if pallas_available() else False
     target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
     init = init_with_seed(NUTS_CHAINS, 2, seed=7)
     nuts = NUTS(target, init, 0.8, use_pallas=use_pallas).seed(7)
@@ -202,14 +207,14 @@ def bench_nuts() -> dict:
         "rhat_mean": rhat_mean,
         "divergences": int(jnp.sum(nuts.divergences)),
         "quality_gate": "passed",
-        "fused_pallas_subtree": str(use_pallas),
+        "fused_pallas_kernel": str(use_pallas),
     }
 
     # Metric adaptation (beyond-reference, models/precondition.py): whiten
-    # from the equilibrated 65k-chain ensemble and continue — the
-    # whitened 2D Gaussian samples super-efficiently (ESS/draw > 1,
-    # antithetic NUTS trajectories). Measured v5e 2026-08: 1.45e8 ESS/s,
-    # 1.54x the unwhitened path above.
+    # from the equilibrated chain ensemble and continue — the whitened 2D
+    # Gaussian samples super-efficiently (ESS/draw > 1, antithetic NUTS
+    # trajectories). Measured v5e 2026-08 with the fused step kernel:
+    # 4.5e8 ESS/s @131k (3.6e8 @65k).
     tuned = nuts.reconditioned("dense", seed=11)
     _sync(tuned.run(NUTS_COLLECT, NUTS_DISCARD))  # adapt + compile
     t0 = time.monotonic()

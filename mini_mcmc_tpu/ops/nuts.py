@@ -568,7 +568,17 @@ def _nuts_step_batched(
     (_j, _pm, _mm, _gm, _pp, _mp, _gp, position_sel, _n, _s, alpha,
      n_alpha, diverged) = lax.while_loop(cond, body, init)
 
-    # Dual averaging (nuts.rs:676-691).
+    return _finish_step(
+        state, target_accept_p, m, position_sel, alpha, n_alpha, diverged
+    )
+
+
+def _finish_step(state, target_accept_p, m, position_sel, alpha, n_alpha,
+                 diverged):
+    """Dual averaging + state assembly (nuts.rs:676-691), shared by the
+    XLA doubling loop and the fused full-step Pallas kernel."""
+    dtype = position_sel.dtype
+    one = jnp.asarray(1.0, dtype)
     mf = m.astype(dtype)
     eta = one / (mf + T_0)
     h_bar = (1.0 - eta) * state.h_bar + eta * (
@@ -607,23 +617,35 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10,
     ``mu = ln(10 * eps)`` (init_chain, nuts.rs:528-545).
     ``step_fn(state, key) -> NUTSState``.
 
-    ``use_pallas``: fuse each subtree build into one Pallas kernel
-    (requires ``target.logp_dc``/``grad_dc`` and ``n_chains % 1024 == 0``;
-    merge-swap uniforms come from a counter hash — a different but
-    deterministic stream).
+    ``use_pallas``: ``True`` fuses each subtree build into one Pallas
+    kernel (requires ``target.logp_dc``/``grad_dc`` and
+    ``n_chains % 1024 == 0``; merge-swap uniforms come from a counter
+    hash — a different but deterministic stream). ``"full"`` fuses the
+    ENTIRE step — momentum/slice draws, the doubling loop with early
+    exit, subtrees, U-turn checks — into one hardware-PRNG kernel
+    (ops/pallas/nuts_full.py; TPU-only, like ``HMC(use_pallas="full")``).
     """
     pallas_subtree = None
+    pallas_step = None
     if use_pallas:
         if target.logp_dc is None or target.grad_dc is None:
             raise ValueError(
                 "use_pallas requires target.logp_dc and target.grad_dc"
             )
-        from .pallas.nuts_subtree import make_pallas_subtree
+        if use_pallas == "full":
+            from .pallas.nuts_full import make_pallas_nuts_step
 
-        pallas_subtree = make_pallas_subtree(
-            target.grad_dc, target.logp_dc, max_depth,
-            interpret=pallas_interpret,
-        )
+            pallas_step = make_pallas_nuts_step(
+                target.grad_dc, target.logp_dc, max_depth,
+                interpret=pallas_interpret,
+            )
+        else:
+            from .pallas.nuts_subtree import make_pallas_subtree
+
+            pallas_subtree = make_pallas_subtree(
+                target.grad_dc, target.logp_dc, max_depth,
+                interpret=pallas_interpret,
+            )
 
     def init_fn(positions: jax.Array) -> NUTSState:
         positions = jnp.asarray(positions)
@@ -666,6 +688,26 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10,
         )
 
     def step_fn(state: NUTSState, key: jax.Array) -> NUTSState:
+        if pallas_step is not None:
+            from .pallas.rng import key_to_seed
+
+            m = state.m + 1  # reference increments at step start
+            if warmup_max_depth is not None and warmup_max_depth < max_depth:
+                warming_now = m[0] <= state.n_discard[0]
+                depth_limit = jnp.where(
+                    warming_now, jnp.int32(warmup_max_depth),
+                    jnp.int32(max_depth),
+                )
+            else:
+                depth_limit = jnp.int32(max_depth)
+            position_sel, alpha, n_alpha, diverged = pallas_step(
+                state.positions, state.epsilon, depth_limit,
+                key_to_seed(key),
+            )
+            return _finish_step(
+                state, target_accept_p, m, position_sel, alpha, n_alpha,
+                diverged,
+            )
         return _nuts_step_batched(
             target, target_accept_p, max_depth, state, key,
             pallas_subtree=pallas_subtree,

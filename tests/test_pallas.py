@@ -240,3 +240,33 @@ def test_nuts_use_pallas_end_to_end_interpret():
     np.testing.assert_allclose(
         np.cov(flat.T), [[1.0, 0.5], [0.5, 2.0]], atol=0.4
     )
+
+
+def test_nuts_full_kernel_requires_tpu():
+    # Same hardware-PRNG limitation as the fused HMC/MH kernels: the fully
+    # fused NUTS step (use_pallas="full") must fail loudly off-TPU, never
+    # silently fall back. (Statistical validation runs on hardware:
+    # tests/test_tpu_parity.py + the bench gates.)
+    import pytest
+
+    from mini_mcmc_tpu import NUTS
+    from mini_mcmc_tpu.models import diffable_gaussian2d
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("runs for real on TPU (tests/test_tpu_parity.py)")
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    nuts = NUTS(target, jnp.zeros((1024, 2), jnp.float32), 0.8,
+                use_pallas="full", pallas_interpret=True).seed(0)
+    with pytest.raises(Exception):
+        jax.block_until_ready(nuts.run(2, 0))
+
+
+def test_nuts_full_requires_dc_forms():
+    import pytest
+
+    from mini_mcmc_tpu import NUTS
+    from mini_mcmc_tpu.models import isotropic_gaussian_target
+
+    with pytest.raises(ValueError, match="logp_dc"):
+        NUTS(isotropic_gaussian_target(1.0), init_det(2, 2), 0.8,
+             use_pallas="full")

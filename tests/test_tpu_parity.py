@@ -59,7 +59,8 @@ for label, kw in [("pallas", {"use_pallas": "full"}),
     hmc = HMC(target, init_with_seed(2048, 2, seed=11), 0.1, 10, **kw).seed(11)
     out["hmc_" + label] = summarize(hmc.run(1000, 500))
 
-for label, kw in [("pallas", {"use_pallas": True}),
+for label, kw in [("full", {"use_pallas": "full"}),
+                  ("pallas", {"use_pallas": True}),
                   ("xla", {"use_pallas": False})]:
     nuts = NUTS(target, init_with_seed(1024, 2, seed=5), 0.8, **kw).seed(5)
     out["nuts_" + label] = summarize(nuts.run(1024, 128))
@@ -153,6 +154,18 @@ def test_tpu_hmc_pallas_matches_xla_path(tpu_results):
 
 def test_tpu_nuts_pallas_quality(tpu_results):
     _check_quality(tpu_results["nuts_pallas"], eff_floor=0.05)
+
+
+def test_tpu_nuts_full_step_kernel_quality(tpu_results):
+    # the fully-fused NUTS step (hardware-PRNG momentum/slice/merge draws,
+    # in-kernel doubling loop) vs the same reference config: moments, R-hat
+    # and per-draw efficiency must match the XLA tree path
+    p, x = tpu_results["nuts_full"], tpu_results["nuts_xla"]
+    _check_quality(p, eff_floor=0.05)
+    for d in range(2):
+        assert abs(p["mean"][d] - x["mean"][d]) <= 0.08, (p, x)
+        assert abs(p["var"][d] - x["var"][d]) <= 0.4, (p, x)
+        assert 0.6 <= p["eff"][d] / x["eff"][d] <= 1.8, (p, x)
 
 
 def test_tpu_nuts_pallas_matches_xla_path(tpu_results):
