@@ -449,6 +449,22 @@ def _build_subtree(
     return _TreeResult(*[x[0] for x in res])
 
 
+def _depth_limit(state, m, max_depth, warmup_max_depth):
+    """The step's runtime tree-depth cap — the SINGLE copy shared by the
+    XLA doubling loop and the fused full-step kernel path.
+
+    Lockstep execution waits for the deepest tree across all chains;
+    during warm-up a few unequilibrated stragglers otherwise force
+    max-depth trees every step. Capping depth during adaptation only
+    bounds that wall-time cost (steady-state sampling is unaffected)."""
+    if warmup_max_depth is not None and warmup_max_depth < max_depth:
+        warming_now = m[0] <= state.n_discard[0]
+        return jnp.where(
+            warming_now, jnp.int32(warmup_max_depth), jnp.int32(max_depth)
+        )
+    return jnp.int32(max_depth)
+
+
 def _nuts_step_batched(
     target: Target,
     target_accept_p: float,
@@ -476,17 +492,7 @@ def _nuts_step_batched(
     joint = logp - 0.5 * jnp.sum(mom_0 * mom_0, axis=1)
     logu = joint - jax.random.exponential(key_exp, (c,), dtype)
 
-    if warmup_max_depth is not None and warmup_max_depth < max_depth:
-        # Lockstep execution waits for the deepest tree across all chains;
-        # during warm-up a few unequilibrated stragglers otherwise force
-        # max-depth trees every step. Capping depth during adaptation only
-        # bounds that wall-time cost (steady-state sampling is unaffected).
-        warming_now = m[0] <= state.n_discard[0]
-        depth_limit = jnp.where(
-            warming_now, jnp.int32(warmup_max_depth), jnp.int32(max_depth)
-        )
-    else:
-        depth_limit = jnp.int32(max_depth)
+    depth_limit = _depth_limit(state, m, max_depth, warmup_max_depth)
 
     def cond(carry):
         j = carry[0]
@@ -692,14 +698,7 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10,
             from .pallas.rng import key_to_seed
 
             m = state.m + 1  # reference increments at step start
-            if warmup_max_depth is not None and warmup_max_depth < max_depth:
-                warming_now = m[0] <= state.n_discard[0]
-                depth_limit = jnp.where(
-                    warming_now, jnp.int32(warmup_max_depth),
-                    jnp.int32(max_depth),
-                )
-            else:
-                depth_limit = jnp.int32(max_depth)
+            depth_limit = _depth_limit(state, m, max_depth, warmup_max_depth)
             position_sel, alpha, n_alpha, diverged = pallas_step(
                 state.positions, state.epsilon, depth_limit,
                 key_to_seed(key),

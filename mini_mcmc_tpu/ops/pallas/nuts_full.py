@@ -42,7 +42,7 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from . import rng as _rng
-from .nuts_subtree import _DELTA, _count_trailing_ones, _popcount_i32
+from .nuts_subtree import build_subtree_inkernel
 
 
 def make_pallas_nuts_step(
@@ -81,106 +81,20 @@ def make_pallas_nuts_step(
         joint0 = logp0 - 0.5 * jnp.sum(mom0 * mom0, axis=0)
         # logu = joint - Exp(1) (nuts.rs:563-564); Exp(1) = -ln U
         logu = joint0 + jnp.log(_rng.uniform(lanes))
-        # a guaranteed-finite natural-layout vector (logu is finite at step
-        # start): NaN laundering below needs a non-replicated fill operand
-        neg_big = logu * 0.0 - 1e30
 
         def subtree(pos, mom, grad, v_sign, active, j):
-            """2^j-leaf binary-counter subtree in direction ``v_sign``
-            (the nuts_subtree.py kernel body, merge swaps from the
-            sequential hardware stream). Returns (end_pos, end_mom,
+            """2^j-leaf subtree in direction ``v_sign`` via the SHARED
+            in-kernel builder (nuts_subtree.py), merge swaps from the
+            sequential hardware stream. Returns (end_pos, end_mom,
             end_grad, prop_pos, n, s, alpha, n_alpha, dvg)."""
-            eps_signed = eps * v_sign
-            half = eps_signed * 0.5
-            n_leaves = jnp.int32(1) << j
-
-            def leaf_body(i, carry):
-                (pos, mom, grad, s_run, n_tot, alpha_tot, n_alpha_tot,
-                 dvg) = carry
-
-                mom = mom + grad * half[None]
-                pos = pos + mom * eps_signed[None]
-                grad = grad_dc(pos)
-                mom = mom + grad * half[None]
-                logp = logp_dc(pos)
-
-                joint = logp - 0.5 * jnp.sum(mom * mom, axis=0)
-                n_leaf = (logu < joint).astype(jnp.float32)
-                s_leaf = ((logu - _DELTA) < joint).astype(jnp.float32)
-                # NaN-launder the energy difference: dead lanes keep
-                # integrating (no early exit in-kernel) and can reach
-                # inf - inf = NaN joints; the float-masked accumulators
-                # below compute 0 * NaN = NaN, unlike XLA's select, so a
-                # NaN alpha_leaf would poison the whole chain (a NaN lane
-                # is dead anyway — n_leaf/s_leaf comparisons are false)
-                delta = joint - joint0
-                delta = jnp.where(delta == delta, delta, neg_big)
-                alpha_leaf = jnp.minimum(1.0, jnp.exp(delta))
-
-                live = active * s_run
-                n_tot = n_tot + live * n_leaf
-                alpha_tot = alpha_tot + live * alpha_leaf
-                n_alpha_tot = n_alpha_tot + live
-                dvg = jnp.maximum(dvg, live * (1.0 - s_leaf))
-                s_run = s_run * s_leaf
-
-                row = jnp.concatenate(
-                    [pos, mom, pos, grad, logp[None], n_leaf[None]], axis=0
-                )
-                sp = _popcount_i32(i)
-                stack[pl.ds(sp, 1)] = row[None]
-
-                n_merges = _count_trailing_ones(i)
-
-                def merge_body(k, mc):
-                    s_run, top = mc
-                    ia = sp - 1 - k
-                    a_row = stack[pl.ds(ia, 1)][0]
-                    n_a = a_row[4 * d + 1]
-                    n_b = top[4 * d + 1]
-                    u = _rng.uniform(lanes)
-                    take_b = u < n_b / jnp.maximum(n_a + n_b, 1.0)
-
-                    d_chrono = pos - a_row[0:d]
-                    ok = (
-                        (v_sign * jnp.sum(d_chrono * a_row[d:2 * d],
-                                          axis=0)) >= 0.0
-                    ) & ((v_sign * jnp.sum(d_chrono * mom, axis=0)) >= 0.0)
-
-                    # rank-consistent selects: inside the outer while loop
-                    # Mosaic's layout inference rejects the rank-2 select
-                    # (`where(take_b, top[4d], a_row[4d])`) with a
-                    # replicated-relayout error, so the logp row selects in
-                    # the same [1, ...] broadcast form as the state rows
-                    tb = take_b[None]
-                    merged = jnp.concatenate(
-                        [
-                            a_row[0:d],
-                            a_row[d:2 * d],
-                            jnp.where(tb, top[2 * d:3 * d],
-                                      a_row[2 * d:3 * d]),
-                            jnp.where(tb, top[3 * d:4 * d],
-                                      a_row[3 * d:4 * d]),
-                            jnp.where(tb, top[4 * d][None],
-                                      a_row[4 * d][None]),
-                            (n_a + n_b)[None],
-                        ],
-                        axis=0,
-                    )
-                    stack[pl.ds(ia, 1)] = merged[None]
-                    s_run = s_run * ok.astype(jnp.float32)
-                    return s_run, merged
-
-                s_run, _ = lax.fori_loop(0, n_merges, merge_body,
-                                         (s_run, row))
-                return (pos, mom, grad, s_run, n_tot, alpha_tot,
-                        n_alpha_tot, dvg)
-
-            zeros = jnp.zeros(lanes, jnp.float32)
-            init = (pos, mom, grad, jnp.ones(lanes, jnp.float32),
-                    zeros, zeros, zeros, zeros)
             (e_pos, e_mom, e_grad, s_run, n_tot, alpha_tot, n_alpha_tot,
-             dvg) = lax.fori_loop(0, n_leaves, leaf_body, init)
+             dvg) = build_subtree_inkernel(
+                stack, grad_dc, logp_dc,
+                lambda i, k: _rng.uniform(lanes),
+                pos=pos, mom=mom, grad=grad, eps_signed=eps * v_sign,
+                v_sign=v_sign, logu=logu, joint0=joint0, active=active,
+                n_leaves=jnp.int32(1) << j,
+            )
             root = stack[pl.ds(0, 1)][0]
             return (e_pos, e_mom, e_grad, root[2 * d:3 * d],
                     n_tot, s_run, alpha_tot, n_alpha_tot, dvg)
@@ -261,6 +175,13 @@ def make_pallas_nuts_step(
     def step(pos, eps, depth_limit, seed):
         c, d = pos.shape
         dtype = pos.dtype
+        if dtype != jnp.float32:
+            raise ValueError(
+                "the fused NUTS step kernel is float32-only (f32 VMEM "
+                f"tree stack + hardware-PRNG draws); got positions of "
+                f"dtype {dtype}. Use the XLA or per-subtree paths for "
+                "other dtypes."
+            )
         bc = min(block_c, c)
         if c % bc or bc % 1024:
             raise ValueError(

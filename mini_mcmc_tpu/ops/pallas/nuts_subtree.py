@@ -81,6 +81,127 @@ def _count_trailing_ones(i):
     return _popcount_i32((x & -x) - 1)
 
 
+def build_subtree_inkernel(
+    stack, grad_dc, logp_dc, draw_uniform, *,
+    pos, mom, grad, eps_signed, v_sign, logu, joint0, active, n_leaves,
+):
+    """The binary-counter subtree body — the SINGLE in-kernel copy of the
+    tree math (leapfrog leaves, stack pushes, merge cascade with
+    progressive swap, within-subtree U-turn checks; the Pallas analog of
+    ``ops/nuts.py::_build_subtree_batched``, nuts.rs:763-946), shared by
+    the per-subtree kernel below and the fused full-step kernel
+    (``nuts_full.py``).
+
+    Args:
+        stack: ``[>= max_height, 4D+2, *lanes]`` f32 VMEM scratch ref.
+        draw_uniform: ``(i, k) -> [lanes]`` uniform for the merge swap at
+            (leaf ``i``, cascade position ``k``) — the counter hash for
+            the per-subtree kernel, the sequential hardware stream for
+            the full-step kernel.
+        pos/mom/grad: ``[D, *lanes]`` start state VALUES (not refs).
+        eps_signed: ``[lanes]`` per-chain signed step (eps * v).
+        v_sign: ``[lanes]`` f32 +-1 direction (chronology normalization
+            of the U-turn operands).
+        logu, joint0, active: ``[lanes]`` slice variable, initial joint,
+            and 0/1 live mask.
+        n_leaves: traced int32 leaf count (2^j).
+
+    Returns ``(end_pos, end_mom, end_grad, s_run, n_tot, alpha_tot,
+    n_alpha_tot, dvg)``; the proposal row is ``stack[0]`` (root) —
+    ``[0:D]`` first pos, ``[D:2D]`` first mom, ``[2D:3D]`` proposal pos,
+    ``[3D:4D]`` proposal grad, ``[4D]`` proposal logp, ``[4D+1]`` n.
+
+    NaN laundering: the energy difference is scrubbed before ``exp`` —
+    callers without early exit keep integrating dead lanes to
+    ``inf - inf = NaN`` joints, and the float-masked accumulators compute
+    ``0 * NaN = NaN`` (unlike XLA's select). A NaN lane is dead anyway
+    (its comparisons are false).
+    """
+    d = pos.shape[0]
+    half = eps_signed * 0.5
+    # guaranteed-finite natural-layout fill operand (logu is finite at
+    # subtree start); splat constants carry the replicated layout, which
+    # is invalid inside while-loop carries (nuts_full.py)
+    neg_big = logu * 0.0 - 1e30
+
+    def leaf_body(i, carry):
+        pos, mom, grad, s_run, n_tot, alpha_tot, n_alpha_tot, dvg = carry
+
+        # leapfrog (nuts.rs:979-996)
+        mom = mom + grad * half[None]
+        pos = pos + mom * eps_signed[None]
+        grad = grad_dc(pos)
+        mom = mom + grad * half[None]
+        logp = logp_dc(pos)
+
+        joint = logp - 0.5 * jnp.sum(mom * mom, axis=0)
+        n_leaf = (logu < joint).astype(jnp.float32)
+        s_leaf = ((logu - _DELTA) < joint).astype(jnp.float32)
+        delta = joint - joint0
+        delta = jnp.where(delta == delta, delta, neg_big)
+        alpha_leaf = jnp.minimum(1.0, jnp.exp(delta))
+
+        live = active * s_run
+        n_tot = n_tot + live * n_leaf
+        alpha_tot = alpha_tot + live * alpha_leaf
+        n_alpha_tot = n_alpha_tot + live
+        dvg = jnp.maximum(dvg, live * (1.0 - s_leaf))
+        s_run = s_run * s_leaf
+
+        # push leaf row at scalar binary-counter height
+        row = jnp.concatenate(
+            [pos, mom, pos, grad, logp[None], n_leaf[None]], axis=0
+        )
+        sp = _popcount_i32(i)
+        stack[pl.ds(sp, 1)] = row[None]
+
+        # cascade merges (binary counter)
+        n_merges = _count_trailing_ones(i)
+
+        def merge_body(k, mc):
+            s_run, top = mc
+            ia = sp - 1 - k
+            a_row = stack[pl.ds(ia, 1)][0]
+            n_a = a_row[4 * d + 1]
+            n_b = top[4 * d + 1]
+            u = draw_uniform(i, k)
+            take_b = u < n_b / jnp.maximum(n_a + n_b, 1.0)
+
+            # U-turn between A.first and the current (last) state,
+            # chronology-normalized by v.
+            d_chrono = pos - a_row[0:d]
+            ok = (
+                (v_sign * jnp.sum(d_chrono * a_row[d:2 * d], axis=0))
+                >= 0.0
+            ) & ((v_sign * jnp.sum(d_chrono * mom, axis=0)) >= 0.0)
+
+            # rank-consistent ([1, ...]-broadcast) selects throughout:
+            # rank-2 selects are rejected by Mosaic's layout inference
+            # inside while-loop carries (nuts_full.py)
+            tb = take_b[None]
+            merged = jnp.concatenate(
+                [
+                    a_row[0:d],
+                    a_row[d:2 * d],
+                    jnp.where(tb, top[2 * d:3 * d], a_row[2 * d:3 * d]),
+                    jnp.where(tb, top[3 * d:4 * d], a_row[3 * d:4 * d]),
+                    jnp.where(tb, top[4 * d][None], a_row[4 * d][None]),
+                    (n_a + n_b)[None],
+                ],
+                axis=0,
+            )
+            stack[pl.ds(ia, 1)] = merged[None]
+            s_run = s_run * ok.astype(jnp.float32)
+            return s_run, merged
+
+        s_run, _ = lax.fori_loop(0, n_merges, merge_body, (s_run, row))
+        return pos, mom, grad, s_run, n_tot, alpha_tot, n_alpha_tot, dvg
+
+    zeros = logu * 0.0
+    init = (pos, mom, grad, zeros + 1.0, zeros, zeros, zeros, zeros)
+    return lax.fori_loop(0, n_leaves, leaf_body, init)
+
+
 def make_pallas_subtree(
     grad_dc,
     logp_dc,
@@ -112,7 +233,6 @@ def make_pallas_subtree(
         n_leaves = jnp.int32(1) << j
 
         eps_signed = eps_ref[:] * v_ref[:]  # [8, bc8]
-        half = eps_signed * 0.5
         logu = logu_ref[:]
         joint0 = joint0_ref[:]
         active = active_ref[:]  # f32 0/1
@@ -123,86 +243,16 @@ def make_pallas_subtree(
             + pl.program_id(0) * jnp.int32(lanes[0] * lanes[1])
         )
 
-        def leaf_body(i, carry):
-            pos, mom, grad, s_run, n_tot, alpha_tot, n_alpha_tot, dvg = carry
-
-            # leapfrog (nuts.rs:979-996)
-            mom = mom + grad * half[None]
-            pos = pos + mom * eps_signed[None]
-            grad = grad_dc(pos)
-            mom = mom + grad * half[None]
-            logp = logp_dc(pos)
-
-            joint = logp - 0.5 * jnp.sum(mom * mom, axis=0)
-            n_leaf = (logu < joint).astype(jnp.float32)
-            s_leaf = ((logu - _DELTA) < joint).astype(jnp.float32)
-            alpha_leaf = jnp.minimum(1.0, jnp.exp(joint - joint0))
-
-            live = active * s_run
-            n_tot = n_tot + live * n_leaf
-            alpha_tot = alpha_tot + live * alpha_leaf
-            n_alpha_tot = n_alpha_tot + live
-            dvg = jnp.maximum(dvg, live * (1.0 - s_leaf))
-            s_run = s_run * s_leaf
-
-            # push leaf row at scalar binary-counter height
-            row = jnp.concatenate(
-                [pos, mom, pos, grad, logp[None], n_leaf[None]], axis=0
-            )
-            sp = _popcount_i32(i)
-            stack[pl.ds(sp, 1)] = row[None]
-
-            # cascade merges (binary counter)
-            n_merges = _count_trailing_ones(i)
-
-            def merge_body(k, mc):
-                s_run, top = mc
-                ia = sp - 1 - k
-                a_row = stack[pl.ds(ia, 1)][0]
-                n_a = a_row[4 * d + 1]
-                n_b = top[4 * d + 1]
-                u = _hash_unit(seed0, seed1, i * (max_depth + 1) + k,
-                               lane_id)
-                take_b = u < n_b / jnp.maximum(n_a + n_b, 1.0)
-
-                # U-turn between A.first and the current (last) state,
-                # chronology-normalized by v.
-                d_chrono = pos - a_row[0:d]
-                ok = (
-                    (v_ref[:] * jnp.sum(d_chrono * a_row[d:2 * d], axis=0))
-                    >= 0.0
-                ) & ((v_ref[:] * jnp.sum(d_chrono * mom, axis=0)) >= 0.0)
-
-                tb = take_b[None]
-                merged = jnp.concatenate(
-                    [
-                        a_row[0:d],
-                        a_row[d:2 * d],
-                        jnp.where(tb, top[2 * d:3 * d], a_row[2 * d:3 * d]),
-                        jnp.where(tb, top[3 * d:4 * d], a_row[3 * d:4 * d]),
-                        jnp.where(
-                            take_b, top[4 * d], a_row[4 * d]
-                        )[None],
-                        (n_a + n_b)[None],
-                    ],
-                    axis=0,
-                )
-                stack[pl.ds(ia, 1)] = merged[None]
-                s_run = s_run * ok.astype(jnp.float32)
-                return s_run, merged
-
-            s_run, _ = lax.fori_loop(
-                0, n_merges, merge_body, (s_run, row)
-            )
-            return pos, mom, grad, s_run, n_tot, alpha_tot, n_alpha_tot, dvg
-
-        zeros = jnp.zeros(lanes, jnp.float32)
-        init = (
-            pos_ref[:], mom_ref[:], grad_ref[:],
-            jnp.ones(lanes, jnp.float32), zeros, zeros, zeros, zeros,
-        )
         (pos, mom, grad, s_run, n_tot, alpha_tot, n_alpha_tot, dvg) = (
-            lax.fori_loop(0, n_leaves, leaf_body, init)
+            build_subtree_inkernel(
+                stack, grad_dc, logp_dc,
+                lambda i, k: _hash_unit(
+                    seed0, seed1, i * (max_depth + 1) + k, lane_id
+                ),
+                pos=pos_ref[:], mom=mom_ref[:], grad=grad_ref[:],
+                eps_signed=eps_signed, v_sign=v_ref[:], logu=logu,
+                joint0=joint0, active=active, n_leaves=n_leaves,
+            )
         )
 
         root = stack[pl.ds(0, 1)][0]

@@ -80,10 +80,12 @@ def test_native_pipeline_randomized_shape_sweep():
     # phi) cell must agree between the independent C++ implementation,
     # the chain-major XLA path, and the time-major XLA path
     rng = np.random.default_rng(7)
+    # the dispatch runs on the SPLIT length n' = n//2 (stats.py:_ess
+    # switches at n' <= 100), so the FFT cells need n >= 202
     for c, n, p, phi in [
         (2, 41, 1, 0.3),   # odd N, brute-force branch, min chains
-        (3, 200, 2, 0.9),  # slow mixing, FFT branch
-        (8, 201, 4, 0.0),  # iid, odd N, FFT branch
+        (3, 250, 2, 0.9),  # slow mixing, FFT branch (n' = 125)
+        (8, 301, 4, 0.0),  # iid, odd N, FFT branch (n' = 150)
         (5, 64, 3, -0.5),  # antithetic, brute-force branch
     ]:
         eps = rng.normal(size=(c, n, p))
