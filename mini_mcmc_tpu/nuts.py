@@ -38,6 +38,12 @@ class NUTS:
         max_depth: tree-depth cap (the reference recursion is uncapped;
             10 is Stan's default).
         seed: optional base seed.
+        use_pallas: ``True`` fuses each subtree build into one Pallas
+            kernel; ``"full"`` fuses the ENTIRE step (momentum/slice
+            draws, doubling loop with early exit, subtrees, U-turn
+            checks) into one hardware-PRNG kernel — the peak-throughput
+            tier (TPU-only, ops/pallas/nuts_full.py; ~3x the subtree
+            kernel). Both require ``target.logp_dc``/``grad_dc``.
         metric: optional :class:`~mini_mcmc_tpu.models.Preconditioner` —
             runs NUTS in whitened coordinates ``y = L^-1 x`` (equivalent
             to a ``(L L^T)^-1`` mass matrix; beyond-reference, see
