@@ -42,7 +42,7 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from . import rng as _rng
-from .nuts_subtree import build_subtree_inkernel
+from .nuts_subtree import _fit_block_c, build_subtree_inkernel
 
 
 def make_pallas_nuts_step(
@@ -182,7 +182,7 @@ def make_pallas_nuts_step(
                 f"dtype {dtype}. Use the XLA or per-subtree paths for "
                 "other dtypes."
             )
-        bc = min(block_c, c)
+        bc = _fit_block_c(block_c, c, d, max_depth)
         if c % bc or bc % 1024:
             raise ValueError(
                 f"n_chains={c} must be a multiple of block_c={bc} and 1024"

@@ -81,6 +81,24 @@ def _count_trailing_ones(i):
     return _popcount_i32((x & -x) - 1)
 
 
+#: VMEM budget for the tree stack per grid block (bytes); the rest of the
+#: ~16 MB VMEM holds the state arrays and compiler scratch.
+_STACK_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def _fit_block_c(block_c: int, c: int, d: int, max_depth: int) -> int:
+    """Largest 1024-multiple block size that DIVIDES ``c`` and whose
+    ``[max_depth+1, 4D+2, 8, bc/8]`` f32 tree stack fits the VMEM budget —
+    keeps larger-D targets compiling (with more grid blocks) instead of
+    dying on VMEM exhaustion."""
+    row_bytes = (max_depth + 1) * (4 * d + 2) * 4
+    bc = min(block_c, c, (_STACK_VMEM_BUDGET // row_bytes) // 1024 * 1024)
+    bc = max(bc // 1024 * 1024, 1024)
+    while bc > 1024 and c % bc:
+        bc -= 1024
+    return bc
+
+
 def build_subtree_inkernel(
     stack, grad_dc, logp_dc, draw_uniform, *,
     pos, mom, grad, eps_signed, v_sign, logu, joint0, active, n_leaves,
@@ -272,7 +290,7 @@ def make_pallas_subtree(
     def subtree(pos, mom, grad, logu, v, j, eps, joint0, active, seed):
         c, d = pos.shape
         dtype = pos.dtype
-        bc = min(block_c, c)
+        bc = _fit_block_c(block_c, c, d, max_depth)
         if c % bc or bc % 1024:
             raise ValueError(
                 f"n_chains={c} must be a multiple of block_c={bc} and 1024"

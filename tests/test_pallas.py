@@ -270,3 +270,19 @@ def test_nuts_full_requires_dc_forms():
     with pytest.raises(ValueError, match="logp_dc"):
         NUTS(isotropic_gaussian_target(1.0), init_det(2, 2), 0.8,
              use_pallas="full")
+
+
+def test_nuts_block_fit_respects_vmem_and_divisibility():
+    # the tree stack grows with D; the block size must shrink to fit the
+    # VMEM budget while staying a 1024-multiple divisor of n_chains
+    from mini_mcmc_tpu.ops.pallas.nuts_subtree import (
+        _STACK_VMEM_BUDGET,
+        _fit_block_c,
+    )
+
+    assert _fit_block_c(8192, 131072, 2, 10) == 8192  # bench config intact
+    assert _fit_block_c(8192, 131072, 3, 10) == 8192
+    for c, d in [(8192, 8), (65536, 16), (11264, 5)]:
+        bc = _fit_block_c(8192, c, d, 10)
+        assert bc % 1024 == 0 and c % bc == 0, (c, d, bc)
+        assert 11 * (4 * d + 2) * bc * 4 <= _STACK_VMEM_BUDGET or bc == 1024
