@@ -47,8 +47,8 @@ class Preconditioner:
 
     ``kind``: ``"diag"`` (``L = diag(scale)``) or ``"dense"`` (``L`` lower
     triangular, e.g. a Cholesky factor of the estimated target covariance).
-    Arrays are float64-backed numpy-compatible jnp arrays; they enter jitted
-    programs as constants.
+    Arrays are float32 (float64 under ``jax_enable_x64``) jnp arrays; they
+    enter jitted programs as constants.
     """
 
     kind: str

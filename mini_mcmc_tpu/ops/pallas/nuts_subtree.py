@@ -59,12 +59,21 @@ def _hash_unit(seed0, seed1, event, lane_id):
     kernels' seeding policy documents and avoids
     (ops/pallas/hmc_full.py seeding note).
     """
+    u24 = _hash_u24(seed0, seed1, event, lane_id)
+    return u24.astype(jnp.float32) * (1.0 / 16777216.0) + (1.0 / 33554432.0)
+
+
+def _hash_u24(seed0, seed1, event, lane_id):
+    """The integer stage of :func:`_hash_unit`: 24 hashed bits as int32.
+
+    Split out so the stream's statistics are testable on the exact lattice
+    (tests/test_rng_streams.py) — the float32 mapping above rounds the
+    +2^-25 midpoint offset, so the lattice index is not recoverable from
+    the float."""
     x = lane_id ^ (seed0 + event * jnp.int32(-0x61C88647))  # 0x9E3779B9
     x = _mix32(x)
     x = _mix32(x ^ seed1)
-    # 24 positive bits -> (0, 1)
-    u24 = (x & jnp.int32(0x7FFFFFFF)) >> 7
-    return u24.astype(jnp.float32) * (1.0 / 16777216.0) + (1.0 / 33554432.0)
+    return (x & jnp.int32(0x7FFFFFFF)) >> 7  # 24 positive bits
 
 
 def _popcount_i32(x):
@@ -92,6 +101,17 @@ def _fit_block_c(block_c: int, c: int, d: int, max_depth: int) -> int:
     keeps larger-D targets compiling (with more grid blocks) instead of
     dying on VMEM exhaustion."""
     row_bytes = (max_depth + 1) * (4 * d + 2) * 4
+    if row_bytes * 1024 > _STACK_VMEM_BUDGET:
+        # Even the minimum 1024-chain block's tree stack exceeds VMEM:
+        # fail with a clear message instead of an opaque Mosaic
+        # VMEM-exhaustion error (ADVICE r2).
+        raise ValueError(
+            f"fused NUTS kernels need a [max_depth+1, 4D+2, 8, 128] f32 "
+            f"tree stack per 1024-chain block = {row_bytes * 1024} bytes, "
+            f"over the {_STACK_VMEM_BUDGET}-byte VMEM budget "
+            f"(D={d}, max_depth={max_depth}). Reduce max_depth or use the "
+            f"XLA path (use_pallas=False)."
+        )
     bc = min(block_c, c, (_STACK_VMEM_BUDGET // row_bytes) // 1024 * 1024)
     bc = max(bc // 1024 * 1024, 1024)
     while bc > 1024 and c % bc:

@@ -85,10 +85,12 @@ class _KernelSampler:
                 block_fn, step_fn.block_size,
                 tracker_update=stats_mod.tracker_update,
             )
-            # run_progress chunks at arbitrary sizes; it drives the
-            # per-step runner instead (progress is interactive tooling —
-            # the block kernel's throughput edge doesn't matter there).
-            self._progress_runner = make_simple_runner(
+            # run_progress drives the block runner for the K-aligned bulk
+            # of each chunk (same throughput/memory envelope as headless
+            # runs); the per-step runner covers sub-K tails only.
+            self._progress_runner = self._runner
+            self._progress_block_size = step_fn.block_size
+            self._progress_tail_runner = make_simple_runner(
                 step_fn, positions_of=positions_of,
                 tracker_update=stats_mod.tracker_update,
             )
@@ -98,6 +100,8 @@ class _KernelSampler:
                 tracker_update=stats_mod.tracker_update,
             )
             self._progress_runner = self._runner
+            self._progress_block_size = 1
+            self._progress_tail_runner = self._runner
 
     # -- seeding -----------------------------------------------------------
     def seed(self, seed: int):
@@ -141,12 +145,13 @@ class _KernelSampler:
         return sample
 
     def run_progress(self, n_collect: int, n_discard: int = 0, *,
-                     stream=None):
+                     stream=None, time_major: bool = False):
         """Like :meth:`run`, with live progress (a global bar plus rotating
         per-chain ``p(accept)`` bars, the lockstep analog of
         /root/reference/src/core.rs:208-360) and final
         :class:`~mini_mcmc_tpu.stats.RunStats`. ``stream`` overrides the
-        output stream (default stderr)."""
+        output stream (default stderr); ``time_major=True`` returns the
+        ``[n_collect, C, D]`` layout (same HBM saving as :meth:`run`)."""
         self.state, sample = progress_run(
             self._progress_runner,
             self.state,
@@ -156,8 +161,11 @@ class _KernelSampler:
             n_chains=self.n_chains,
             dim=self.dim,
             stream=stream,
+            time_major=time_major,
+            block_size=self._progress_block_size,
+            tail_runner=self._progress_tail_runner,
         )
-        return sample, stats_mod.run_stats(sample)
+        return sample, stats_mod.run_stats(sample, time_major=time_major)
 
 
 class MetropolisHastings(_KernelSampler):
@@ -248,9 +256,15 @@ class HMC(_KernelSampler):
 
         pre = estimate_preconditioner(self.positions, kind)
         ctor = dict(self._ctor)
+        # The carried step size is in this sampler's KERNEL coordinates:
+        # x-space for a plain HMC, whitened y-space when self.metric is
+        # set. Re-whitening with the new metric must start from an x-space
+        # eps, so undo the old whitening first (eps_x = eps_y * sigma_min).
+        eps_x = ctor["step_size"] * (
+            self.metric.sigma_min() if self.metric is not None else 1.0
+        )
         ctor["step_size"] = (
-            step_size if step_size is not None
-            else ctor["step_size"] / pre.sigma_min()
+            step_size if step_size is not None else eps_x / pre.sigma_min()
         )
         if n_leapfrog is not None:
             ctor["n_leapfrog"] = n_leapfrog
@@ -263,10 +277,23 @@ class HMC(_KernelSampler):
 
 class GibbsSampler(_KernelSampler):
     """Batched Gibbs sampler: one step = one full coordinate sweep
-    (/root/reference/src/gibbs.rs:95-99)."""
+    (/root/reference/src/gibbs.rs:95-99).
+
+    ``use_pallas="full"`` fuses the whole sweep (hardware-PRNG conditional
+    draws) into one on-chip Pallas kernel; requires
+    ``conditional.sample_dc`` (TPU-only, see ``ops/pallas/gibbs_full.py``).
+    ``steps_per_call`` > 1 fuses K sweeps per kernel call (run lengths must
+    then be multiples of K), amortizing the per-step fixed cost like the
+    MH/HMC block kernels.
+    """
 
     def __init__(self, conditional: Conditional, initial_positions,
-                 seed: Optional[int] = None):
+                 seed: Optional[int] = None, use_pallas=False,
+                 steps_per_call: int = 1, pallas_interpret: bool = False):
         self.conditional = conditional
-        init_fn, step_fn = gibbs_kernel(conditional)
+        n_dim = jnp.shape(jnp.asarray(initial_positions))[-1]
+        init_fn, step_fn = gibbs_kernel(conditional, n_dim=n_dim,
+                                        use_pallas=use_pallas,
+                                        steps_per_call=steps_per_call,
+                                        pallas_interpret=pallas_interpret)
         super().__init__(init_fn, step_fn, initial_positions, seed)

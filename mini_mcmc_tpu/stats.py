@@ -489,7 +489,13 @@ def basic_stats(name: str, data) -> BasicStats:
     — ``jnp.sort`` would instead push NaNs to one end, shifting the
     reported max/median whenever degenerate chains make ESS/R-hat NaN.
     (The arrays here are per-parameter summaries, so the host sort is a
-    few elements.)"""
+    few elements.)
+
+    NaN-placement parity is BEST-EFFORT, not bit-for-bit: the NaN-equal
+    comparator is not a total order, and Python's Timsort need not produce
+    the same permutation as Rust's stable sort for such a comparator, so
+    inputs with multiple interior NaNs can order differently. All-finite
+    inputs (the common case) match exactly."""
     import functools
     import math
 
@@ -525,11 +531,12 @@ class RunStats:
         return f"{self.ess}\n{self.rhat}"
 
     @classmethod
-    def from_sample(cls, sample) -> "RunStats":
-        rhat, ess = split_rhat_mean_ess(sample)
+    def from_sample(cls, sample, *, time_major: bool = False) -> "RunStats":
+        rhat, ess = split_rhat_mean_ess(sample, time_major=time_major)
         return cls(ess=basic_stats("ESS", ess), rhat=basic_stats("Split R-hat", rhat))
 
 
-def run_stats(sample) -> RunStats:
-    """Convenience: final diagnostics for a ``[C, N, P]`` sample cube."""
-    return RunStats.from_sample(sample)
+def run_stats(sample, *, time_major: bool = False) -> RunStats:
+    """Convenience: final diagnostics for a ``[C, N, P]`` sample cube
+    (``[N, C, P]`` with ``time_major=True``)."""
+    return RunStats.from_sample(sample, time_major=time_major)

@@ -8,6 +8,7 @@ via the Pallas interpreter.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mini_mcmc_tpu import HMC, init_det
 from mini_mcmc_tpu.models import rosenbrock_nd
@@ -286,3 +287,7 @@ def test_nuts_block_fit_respects_vmem_and_divisibility():
         bc = _fit_block_c(8192, c, d, 10)
         assert bc % 1024 == 0 and c % bc == 0, (c, d, bc)
         assert 11 * (4 * d + 2) * bc * 4 <= _STACK_VMEM_BUDGET or bc == 1024
+    # D/max_depth too large for even the minimum 1024-chain block: a clean
+    # ValueError, not an opaque Mosaic VMEM-exhaustion failure (ADVICE r2)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        _fit_block_c(8192, 8192, 512, 10)

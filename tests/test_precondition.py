@@ -246,6 +246,30 @@ def test_reconditioned_rescales_step_size_for_wide_targets():
     assert 75.0 < flat.std() < 130.0, flat.std()
 
 
+def test_repeated_reconditioning_keeps_step_size_scale():
+    # reconditioning a sampler that ALREADY carries a metric: the carried
+    # step size is whitened (y-space), so it must be mapped back to x-space
+    # before dividing by the new metric's sigma_min — otherwise each round
+    # shrinks eps by another factor of sigma_min (ADVICE r2). With a
+    # ~scale-100 target, two rounds of the buggy rescale would leave
+    # eps ~ 5e-3 instead of ~0.5.
+    from mini_mcmc_tpu.models.base import Target
+
+    def logp_batch(x):
+        return -0.5 * jnp.sum((x / 100.0) ** 2, axis=-1)
+
+    wide = Target(logp=lambda x: -0.5 * jnp.sum((x / 100.0) ** 2),
+                  logp_batch=logp_batch)
+    hmc = HMC(wide, init_det(128, 2) * 100.0, 50.0, 8).seed(12)
+    hmc.run(0, 300)
+    tuned = hmc.reconditioned("diag")
+    tuned.run(0, 100)
+    tuned2 = tuned.reconditioned("diag")
+    assert 0.2 < tuned2.step_size < 1.5, tuned2.step_size
+    s = tuned2.run(200, 0)
+    assert 70.0 < np.asarray(s).std() < 135.0, np.asarray(s).std()
+
+
 def test_reconditioned_is_deterministic_without_seed():
     # the README workflow (seed -> warmup -> reconditioned -> run) must be
     # reproducible end-to-end: the derived sampler's key comes from the
