@@ -102,6 +102,7 @@ class NUTS:
                 f"{initial_positions.shape}"
             )
         self.state: NUTSState = init_fn(initial_positions)
+        self._div_before_run = None  # see last_run_divergences
         self._prepare_fn = jax.jit(prepare_fn, static_argnames=("n_discard",))
         self._step_fn = step_fn
         self._key = _fresh_key(seed)
@@ -161,10 +162,31 @@ class NUTS:
 
     @property
     def divergences(self) -> jax.Array:
-        """Per-chain count of divergent transitions (the reference only
-        uses divergence to stop tree growth, nuts.rs:807; exposing the
-        count is the standard Stan-style health diagnostic)."""
+        """Per-chain count of divergent transitions, cumulative over every
+        ``run`` since construction (the reference only uses divergence to
+        stop tree growth, nuts.rs:807; exposing the count is the standard
+        Stan-style health diagnostic)."""
         return self.state.divergences
+
+    @property
+    def last_run_divergences(self) -> jax.Array:
+        """Per-chain divergences of the most recent ``run``/``run_progress``
+        only. Separates steady-state health from the expected pre-adaptation
+        warmup divergences that :attr:`divergences` accumulates — on an easy
+        target a converged sampler should show ~0 here while the cumulative
+        count carries the first run's adaptation transient."""
+        import jax.numpy as jnp
+
+        if self._div_before_run is None:
+            return jnp.zeros_like(self.state.divergences)
+        return self.state.divergences - self._div_before_run
+
+    def _snapshot_divergences(self):
+        import jax.numpy as jnp
+
+        # copy=True: run() donates the state buffers, so a bare reference
+        # to the pre-run array would be invalidated by the runner call
+        self._div_before_run = jnp.array(self.state.divergences, copy=True)
 
     def run(self, n_collect: int, n_discard: int = 0, *,
             time_major: bool = False) -> jax.Array:
@@ -172,6 +194,7 @@ class NUTS:
         ``[n_collect, n_chains, D]`` with ``time_major=True``, which skips
         the final transpose (halves peak HBM at huge chain counts; pair
         with ``split_rhat_mean_ess(..., time_major=True)``)."""
+        self._snapshot_divergences()
         self.state = self._prepare_fn(
             self.state, self._next_key(), n_discard=n_discard
         )
@@ -182,41 +205,32 @@ class NUTS:
         return sample
 
     def run_progress(self, n_collect: int, n_discard: int = 0, *,
-                     stream=None):
+                     stream=None, time_major: bool = False):
         """Sample with live progress bars; returns ``(sample, RunStats)``
         (the analog of nuts.rs:194-338). ``stream`` overrides the output
-        stream (default stderr)."""
-        import jax.numpy as jnp
-
+        stream (default stderr); ``time_major=True`` returns the
+        ``[n_collect, C, D]`` layout (same HBM saving as :meth:`run`)."""
+        self._snapshot_divergences()
         self.state = self._prepare_fn(
             self.state, self._next_key(), n_discard=n_discard
         )
         # Reduce the initial-recording convention (n_collect + n_discard - 1
         # steps) to the simple chunked driver: with n_discard == 0 the first
-        # row is the current position and n_collect - 1 further steps are
-        # recorded; otherwise it equals a simple run with one fewer discard.
+        # row is the current position (passed as initial_rows, written
+        # straight into the preallocated cube) and n_collect - 1 further
+        # steps are recorded; otherwise it equals a simple run with one
+        # fewer discard.
+        kw = dict(n_chains=self.n_chains, dim=self.dim, stream=stream,
+                  time_major=time_major)
         if n_discard == 0:
-            first = self.positions[:, None, :]
-            self.state, rest = progress_run(
-                self._simple_runner,
-                self.state,
-                self._next_key(),
-                n_collect - 1,
-                0,
-                n_chains=self.n_chains,
-                dim=self.dim,
-                stream=stream,
+            kw["initial_rows"] = self.positions[None]  # [1, C, D]
+            self.state, sample = progress_run(
+                self._simple_runner, self.state, self._next_key(),
+                n_collect, 0, **kw,
             )
-            sample = jnp.concatenate([first, rest], axis=1)
         else:
             self.state, sample = progress_run(
-                self._simple_runner,
-                self.state,
-                self._next_key(),
-                n_collect,
-                n_discard - 1,
-                n_chains=self.n_chains,
-                dim=self.dim,
-                stream=stream,
+                self._simple_runner, self.state, self._next_key(),
+                n_collect, n_discard - 1, **kw,
             )
-        return sample, stats_mod.run_stats(sample)
+        return sample, stats_mod.run_stats(sample, time_major=time_major)

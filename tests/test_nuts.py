@@ -180,6 +180,35 @@ def test_nuts_divergence_counter():
     before = int(jnp.sum(easy.divergences))
     easy.run(50, 0)  # post-adaptation sampling
     assert int(jnp.sum(easy.divergences)) == before
+    # per-run delta: the steady-state run shows ZERO divergences even
+    # though the cumulative counter still carries the warmup transient
+    assert int(jnp.sum(easy.last_run_divergences)) == 0
+    assert int(jnp.sum(easy.divergences)) == warmup_div
+
+
+def test_nuts_last_run_divergences_is_per_run():
+    # fresh sampler: no run yet -> zeros; a forced-divergence run shows in
+    # the delta AND the cumulative count; a later clean run resets the
+    # delta to 0 while the cumulative count keeps the history
+    target = rosenbrock2d(1.0, 100.0)
+    sampler = NUTS(target, init_det(4, 2), 0.8).seed(0)
+    assert int(jnp.sum(sampler.last_run_divergences)) == 0
+    sampler.state = sampler.state._replace(
+        epsilon=jnp.full((4,), 10.0, jnp.float32)
+    )
+    sampler._prepare_fn = lambda state, key, n_discard: state
+    sampler.run(20, 0)
+    burst = int(jnp.sum(sampler.last_run_divergences))
+    assert burst > 0
+    assert int(jnp.sum(sampler.divergences)) == burst
+    # post-adaptation steps pull epsilon from epsilon_bar; pin both
+    sampler.state = sampler.state._replace(
+        epsilon=jnp.full((4,), 0.001, jnp.float32),
+        epsilon_bar=jnp.full((4,), 0.001, jnp.float32),
+    )
+    sampler.run(20, 0)
+    assert int(jnp.sum(sampler.last_run_divergences)) == 0
+    assert int(jnp.sum(sampler.divergences)) == burst
 
 
 def test_nuts_chain_isolation_under_masking():
