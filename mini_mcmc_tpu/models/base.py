@@ -124,7 +124,13 @@ class Conditional:
             drawing coordinate ``index`` for ALL chains from one key —
             skips the per-chain key splitting and runs the conditional as
             batched tensor ops.
+        sample_dc: optional chains-on-lanes form for the fused Pallas
+            Gibbs kernel: ``(rng, index, state [D, ...]) -> [...]`` drawing
+            coordinate ``index`` (a STATIC Python int — the in-kernel sweep
+            is unrolled) using the in-kernel hardware PRNG namespace
+            ``ops/pallas/rng`` (jnp ops only).
     """
 
     sample: Callable
     sample_batch: Optional[Callable] = None
+    sample_dc: Optional[Callable] = None
