@@ -165,6 +165,69 @@ def test_multihost_two_process_end_to_end():
         assert f"proc {i}: OK" in out
 
 
+_COLLECTIVE_OPS = ("all-reduce", "all-gather", "collective-permute",
+                   "reduce-scatter", "all-to-all")
+
+
+def test_sampling_scan_compiles_to_zero_collectives():
+    """Zero-communication sampling BY CONSTRUCTION (VERDICT r2 next #6):
+    the compiled SPMD sampling program over the sharded chains axis must
+    contain no collective ops — chains are independent, so linear
+    multi-chip scaling is a checked invariant, not an argument
+    (runner.py:16-18). A tracker/kernel change that sneaks a cross-chain
+    reduction into the hot loop fails here. The diagnostics program is the
+    positive control: its cross-chain reductions MUST emit collectives."""
+    target = rosenbrock_nd()
+    hmc = HMC(target, init_det(64, 3), 0.02, 5).seed(4)
+    mesh = chain_mesh()
+    hmc.state = shard_sampler_state(mesh, hmc.state)
+    hlo = hmc._runner.lower(
+        hmc.state, jax.random.PRNGKey(0), 64, 16,
+        tracker=None, time_major=False,
+    ).compile().as_text()
+    found = [op for op in _COLLECTIVE_OPS if op in hlo]
+    assert not found, f"sampling scan emitted collectives: {found}"
+
+    # MH headless (tracker=None, the run() hot path): also zero, in the
+    # time-major layout
+    mh = MetropolisHastings(
+        gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]]),
+        isotropic_gaussian_proposal(1.0), init_det(64, 2)).seed(0)
+    mh.state = shard_sampler_state(mesh, mh.state)
+    hlo_tm = mh._runner.lower(
+        mh.state, jax.random.PRNGKey(0), 64, 0,
+        tracker=None, time_major=True,
+    ).compile().as_text()
+    found = [op for op in _COLLECTIVE_OPS if op in hlo_tm]
+    assert not found, f"time-major sampling scan emitted collectives: {found}"
+
+    # The TRACKED scan (progress runs only) legitimately all-reduces: the
+    # global p_accept EWMA folds across chains per step by reference
+    # semantics (stats.rs:228-259). Pin that it emits nothing heavier than
+    # that scalar all-reduce — no gathers/permutes of the sample itself.
+    from mini_mcmc_tpu.stats import tracker_init
+
+    hlo_t = mh._runner.lower(
+        mh.state, jax.random.PRNGKey(0), 64, 0,
+        tracker=tracker_init(64, 2), time_major=True,
+    ).compile().as_text()
+    heavy = [op for op in _COLLECTIVE_OPS if op != "all-reduce"
+             and op in hlo_t]
+    assert not heavy, f"tracked scan emitted heavy collectives: {heavy}"
+
+    # positive control: cross-chain diagnostics over the sharded cube must
+    # reduce over the mesh (otherwise this test would pass vacuously on a
+    # backend where the partitioner never names collectives)
+    from mini_mcmc_tpu import split_rhat_mean_ess
+
+    sample = mh.run(128, 0)
+    diag_hlo = jax.jit(split_rhat_mean_ess).lower(sample).compile().as_text()
+    assert any(op in diag_hlo for op in _COLLECTIVE_OPS), (
+        "diagnostics program emitted no collectives — positive control "
+        "failed; the sampling-scan assertion above may be vacuous"
+    )
+
+
 def test_shard_chains_layout():
     mesh = chain_mesh()
     x = jnp.zeros((32, 4))
