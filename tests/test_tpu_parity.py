@@ -316,8 +316,15 @@ def test_tpu_fused_kernels_same_seed_bitwise(tpu_results):
 # test above still runs, and the digests print in the failure message of
 # this test for easy recording.
 _RECORDED_DIGESTS: dict = {
-    # filled from a hardware run of this module's script (see the skip
-    # message of test_tpu_fused_kernels_recorded_digests for the values)
+    # recorded 2026-08-17 (jax 0.9 era runtime), stable across processes;
+    # on a new device kind, record from the skip message of
+    # test_tpu_fused_kernels_recorded_digests
+    "TPU v5 lite": {
+        "hmc": "c9861c4579184150",
+        "mh": "9675c986b31b80c5",
+        "nuts": "d3dfb4686b91d49f",
+        "gibbs": "df9504442788a959",
+    },
 }
 
 
