@@ -143,6 +143,15 @@ def progress_run(
     n_initial = 0 if initial_rows is None else int(initial_rows.shape[0])
     total = n_collect + n_discard - n_initial
     chunk = max(k, (max(1, total) // _TARGET_CHUNKS) // k * k)
+    # Prefer a k-multiple chunk that divides the total exactly: every chunk
+    # then shares ONE compiled signature. Remote compiles of the big scan
+    # programs take minutes per signature on tunneled backends, so a
+    # degrading-remainder schedule (chunk, ..., smaller, tail) costs far
+    # more in compiles than it saves in freshness.
+    for cand in range(chunk, 2 * chunk + 1, k):
+        if cand > 0 and total % cand == 0:
+            chunk = cand
+            break
 
     tracker = stats_mod.tracker_init(n_chains, dim)
     display = _ProgressDisplay(n_chains, total + n_initial, stream)
