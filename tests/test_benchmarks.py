@@ -59,6 +59,42 @@ def test_mh_throughput_80m_samples():
           f"{80e6 / elapsed / 1e6:.2f}M samples/s")
 
 
+def test_gibbs_throughput_mixture():
+    # Gibbs throughput harness (the sampler the reference benches only via
+    # its example, examples/mixture_gibbs.rs): 10M sweeps of the mixture
+    # conditional across 256 chains with the K-sweep block path, moment
+    # bands from gibbs.rs:374-386 theory.
+    from mini_mcmc_tpu import GibbsSampler
+    from mini_mcmc_tpu.models import gaussian_mixture_conditional
+
+    mu0, sigma0, mu1, sigma1, pi0 = -2.0, 1.0, 3.0, 1.5, 0.5
+    cond = gaussian_mixture_conditional(mu0, sigma0, mu1, sigma1, pi0)
+    g = GibbsSampler(cond, jnp.zeros((256, 2)), steps_per_call=8).seed(0)
+    n_steps = 10_000_000 // 256
+    chunk = 8192
+    t0 = time.monotonic()
+    done, xs_mean, xs_sq, n_x = 0, 0.0, 0.0, 0
+    while done < n_steps:
+        c = min(chunk, n_steps - done)
+        c -= c % 8  # block path needs K-multiples
+        sample = _sync(g.run(max(c, 8), 0, time_major=True))
+        x = sample[:, :, 0]
+        xs_mean += float(jnp.sum(x))
+        xs_sq += float(jnp.sum(x * x))
+        n_x += x.size
+        done += max(c, 8)
+    elapsed = time.monotonic() - t0
+    mean = xs_mean / n_x
+    var = xs_sq / n_x - mean * mean
+    true_mean = pi0 * mu0 + (1 - pi0) * mu1
+    true_var = (pi0 * (sigma0**2 + (mu0 - true_mean) ** 2)
+                + (1 - pi0) * (sigma1**2 + (mu1 - true_mean) ** 2))
+    assert abs(mean - true_mean) < abs(true_mean) / 10.0, mean
+    assert abs(var - true_var) < true_var / 10.0, var
+    print(f"Gibbs 10M sweeps: {elapsed:.1f}s, "
+          f"{done * 256 / elapsed / 1e6:.2f}M draws/s")
+
+
 def test_mh_ess_quality_band():
     # Reference config (mh.rs:419-445): correlated Gaussian2D([0,1],
     # [[4,2],[2,3]]), IsotropicGaussian(1.0) proposal, 3 chains, 500
