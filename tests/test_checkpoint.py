@@ -51,6 +51,25 @@ def test_hmc_checkpoint_resume_bitexact():
     np.testing.assert_array_equal(np.asarray(cont_a), np.asarray(cont_b))
 
 
+def test_gibbs_checkpoint_resume_bitexact():
+    import jax.numpy as jnp
+
+    from mini_mcmc_tpu import GibbsSampler
+    from mini_mcmc_tpu.models import gaussian_mixture_conditional
+
+    cond = gaussian_mixture_conditional(-2.0, 1.0, 3.0, 1.5, 0.5)
+    with tempfile.TemporaryDirectory() as tmp:
+        a = GibbsSampler(cond, jnp.zeros((3, 2))).seed(6)
+        a.run(40, 0)
+        save_sampler(_ckpt_path(tmp), a)
+        cont_a = a.run(60, 0)
+
+        b = GibbsSampler(cond, jnp.zeros((3, 2))).seed(4321)
+        restore_sampler(_ckpt_path(tmp), b)
+        cont_b = b.run(60, 0)
+    np.testing.assert_array_equal(np.asarray(cont_a), np.asarray(cont_b))
+
+
 def test_checkpoint_npz_backend_roundtrip():
     # the no-dependency fallback format stays loadable (auto-detected)
     target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
