@@ -18,6 +18,7 @@ by XLA collectives over ICI.
 
 from . import models, ops, parallel, stats, utils
 from .checkpoint import load_checkpoint, save_checkpoint
+from .diagnostics import ModernDiagnostics, rank_normalized_diagnostics
 from .nuts import NUTS
 from .runner import make_initial_recording_runner, make_simple_runner
 from .samplers import HMC, GibbsSampler, MetropolisHastings
@@ -45,11 +46,13 @@ __all__ = [
     "init_det",
     "init_with_seed",
     "load_checkpoint",
+    "ModernDiagnostics",
     "make_initial_recording_runner",
     "make_simple_runner",
     "models",
     "ops",
     "parallel",
+    "rank_normalized_diagnostics",
     "run_stats",
     "save_checkpoint",
     "split_rhat_mean_ess",

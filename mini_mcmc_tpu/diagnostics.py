@@ -1,0 +1,159 @@
+"""Modern (rank-normalized) convergence diagnostics — beyond-reference.
+
+`stats.py` replicates the reference's Stan-2017-era formulas bit-for-bit,
+quirks included, because ESS/R-hat parity with
+/root/reference/src/stats.rs:416-546 is a stated goal. This module adds the
+CURRENT recommended diagnostics (Vehtari, Gelman, Simpson, Carpenter,
+Burkner, 2021: "Rank-normalization, folding, and localization: an improved
+R-hat for assessing convergence of MCMC"), which the reference does not
+have:
+
+- **rank-normalized split R-hat** — robust to heavy tails (classic R-hat
+  silently breaks when moments don't exist) and, via **folding**, sensitive
+  to chains that agree in location but differ in scale;
+- **bulk ESS** — ESS of the rank-normalized draws (center-of-distribution
+  mixing);
+- **tail ESS** — ESS of the 5%/95% quantile exceedance indicators
+  (tail-quantile reliability, what credible intervals depend on).
+
+Unlike the parity module this uses the STANDARD split R-hat orientation
+``sqrt(var_hat / W)`` (values >= 1, flag above ~1.01) — the reference's
+inverted ``sqrt(W / var)`` quirk is deliberately not carried over here.
+
+All transforms are batched jnp ops (one argsort-based ranking per
+parameter, normal quantiles via ``ndtri``), so the diagnostics run
+on-device over the full ``[C, N, P]`` cube; per-parameter ranking sorts
+``C*N`` elements, so for flagship-scale cubes run this at analysis time
+(it allocates rank/z copies of the cube), not inside a sampling loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .stats import _ess, _splitcat, _withinvar
+
+
+def _rank_normalize_flat(flat: jax.Array) -> jax.Array:
+    """Fractional-offset rank-normalization of ``[S, P]`` draws -> z-scores.
+
+    Ordinal ranks via double argsort (ties are measure-zero for continuous
+    float draws), then the Blom-offset normal quantile
+    ``z = Phi^-1((r + 1 - 3/8) / (S + 1/4))`` (Vehtari et al. 2021, eq. 14).
+    """
+    s = flat.shape[0]
+    order = jnp.argsort(flat, axis=0)
+    ranks = jnp.argsort(order, axis=0).astype(jnp.float32)  # 0-based
+    u = (ranks + (1.0 - 0.375)) / (s + 0.25)
+    return jax.scipy.special.ndtri(u).astype(jnp.float32)
+
+
+def _rank_normalize_cube(sample: jax.Array) -> jax.Array:
+    """Rank-normalize a ``[C, N, P]`` cube over ALL draws per parameter."""
+    c, n, p = sample.shape
+    flat = sample.reshape(c * n, p)
+    return _rank_normalize_flat(flat).reshape(c, n, p)
+
+
+def _standard_split_rhat(splitted: jax.Array) -> jax.Array:
+    """STANDARD-orientation split R-hat ``sqrt(var_hat / W)`` on a
+    ``[2C, n', P]`` split cube (>= 1; the parity module's quirk inverts
+    it)."""
+    within, var = _withinvar(splitted)
+    return jnp.sqrt(var / within)
+
+
+def _split_rhat_and_ess(cube: jax.Array):
+    splitted = _splitcat(cube)
+    within, var = _withinvar(splitted)
+    rhat = jnp.sqrt(var / within)
+    ess = _ess(splitted, within, var)
+    return rhat, ess
+
+
+@dataclasses.dataclass
+class ModernDiagnostics:
+    """Per-parameter rank-normalized diagnostics (arrays of shape ``[P]``).
+
+    ``rhat`` is ``max(bulk rank-normalized R-hat, folded rank-normalized
+    R-hat)`` — the quantity Stan reports; flag parameters above ~1.01.
+    """
+
+    rhat: jax.Array
+    rhat_bulk: jax.Array
+    rhat_folded: jax.Array
+    ess_bulk: jax.Array
+    ess_tail: jax.Array
+
+    def __str__(self) -> str:
+        return (
+            f"rank-normalized R-hat in [{float(jnp.min(self.rhat)):.4f}, "
+            f"{float(jnp.max(self.rhat)):.4f}], "
+            f"bulk ESS >= {float(jnp.min(self.ess_bulk)):.1f}, "
+            f"tail ESS >= {float(jnp.min(self.ess_tail)):.1f}"
+        )
+
+
+def rank_normalized_diagnostics(
+    sample: jax.Array, *, time_major: bool = False
+) -> ModernDiagnostics:
+    """Rank-normalized split R-hat, bulk ESS, and tail ESS per parameter.
+
+    Args:
+        sample: ``[chains, observations, parameters]`` cube (or
+            ``[observations, chains, parameters]`` with ``time_major=True``;
+            the rank transform allocates cube-sized temporaries either way,
+            so the layout only affects the input convention here).
+
+    Returns:
+        :class:`ModernDiagnostics` with ``[P]`` arrays.
+    """
+    sample = jnp.asarray(sample, jnp.float32)
+    if sample.ndim != 3:
+        raise ValueError(
+            f"sample must be a 3-D cube; got shape {sample.shape}"
+        )
+    if time_major:
+        sample = jnp.swapaxes(sample, 0, 1)
+    c, n, p = sample.shape
+    flat = sample.reshape(c * n, p)
+
+    # bulk: rank-normalize all draws, then standard split R-hat + ESS
+    z = _rank_normalize_cube(sample)
+    rhat_bulk, ess_bulk = _split_rhat_and_ess(z)
+
+    # folded: rank-normalize |x - median| — detects scale disagreement
+    # between chains that classic (mean-based) R-hat cannot see
+    median = jnp.quantile(flat, 0.5, axis=0)  # [P]
+    folded = jnp.abs(sample - median[None, None, :])
+    z_fold = _rank_normalize_cube(folded)
+    rhat_folded = _standard_split_rhat(_splitcat(z_fold))
+
+    # tail: ESS of the RAW 5% / 95% exceedance indicators (Vehtari et al.
+    # sec. 4.3 — the indicator is already bounded, so no rank transform;
+    # rank-normalizing a two-valued array would turn argsort tie order
+    # into a spurious time ramp and collapse the ESS)
+    q05, q95 = (
+        jnp.quantile(flat, 0.05, axis=0),
+        jnp.quantile(flat, 0.95, axis=0),
+    )
+    ess_tails = []
+    for ind in (
+        (sample <= q05[None, None, :]),
+        (sample >= q95[None, None, :]),
+    ):
+        splitted = _splitcat(ind.astype(jnp.float32))
+        within, var = _withinvar(splitted)
+        ess_tails.append(_ess(splitted, within, var))
+    ess_tail = jnp.minimum(*ess_tails)
+
+    return ModernDiagnostics(
+        rhat=jnp.maximum(rhat_bulk, rhat_folded),
+        rhat_bulk=rhat_bulk,
+        rhat_folded=rhat_folded,
+        ess_bulk=ess_bulk,
+        ess_tail=ess_tail,
+    )
