@@ -58,6 +58,11 @@ def main(n_points=256, dim=4, seed=0):
     print("true beta:     ", np.asarray(true_beta))
     print("posterior mean:", post_mean)
     print(run_stats(sample))
+    # modern (beyond-reference) diagnostics: rank-normalized R-hat,
+    # bulk/tail ESS (diagnostics.py, Vehtari et al. 2021)
+    from mini_mcmc_tpu import rank_normalized_diagnostics
+
+    print(rank_normalized_diagnostics(sample))
     print("divergences:", int(jnp.sum(sampler.divergences)))
 
     # parameter recovery within posterior uncertainty
