@@ -144,6 +144,29 @@ def bench_hmc_flagship() -> dict:
     _gate("hmc x0 mean", abs(x0_mean - ROSEN3D_X0_MEAN) <= 0.05, x0_mean)
     _gate("hmc x0 var", abs(x0_var - ROSEN3D_X0_VAR) <= 0.04, x0_var)
 
+    # Modern gate (beyond-reference, diagnostics.py): rank-normalized +
+    # folded split R-hat — catches heavy-tail/scale pathologies classic
+    # R-hat is blind to. Runs on the HOST CPU over a 2,048-chain x
+    # 512-draw subsample (~2.5 s): the argsort-heavy program costs ~7 min
+    # of remote COMPILE on the tunneled TPU for a 3 s execution, and
+    # subsampling does not bias R-hat.
+    from mini_mcmc_tpu import rank_normalized_diagnostics
+
+    # Contiguous slice, NOT a strided gather: a strided [::16, ::32] gather
+    # over the 6.4 GB cube needs a cube-scale temporary and OOMs HBM.
+    # Chains are exchangeable and the last 512 draws are the steady state,
+    # so a contiguous [512, 2048, 3] block is an unbiased subsample.
+    from jax import lax
+
+    sub = jax.device_get(
+        lax.slice(sample, (N_COLLECT - 512, 0, 0), (N_COLLECT, 2048, DIM))
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        modern = rank_normalized_diagnostics(jnp.asarray(sub),
+                                             time_major=True)
+    rank_rhat_max = float(jnp.max(modern.rhat))
+    _gate("hmc rank-normalized rhat", rank_rhat_max <= 1.02, rank_rhat_max)
+
     steps_per_sec = N_COLLECT / elapsed
     grad_evals_per_sec = steps_per_sec * N_CHAINS * N_LEAPFROG
     return {
@@ -159,6 +182,7 @@ def bench_hmc_flagship() -> dict:
         "ess_min": ess_min,
         "ess_min_per_sec": ess_min / elapsed,
         "rhat_mean": rhat_mean,
+        "rank_rhat_max": rank_rhat_max,
         "x0_mean": x0_mean,
         "x0_var": x0_var,
         "quality_gate": "passed",
@@ -462,17 +486,29 @@ def bench_extras() -> dict:
     return out
 
 
+def _staged(name, fn, _t0=[None]):
+    """Run one bench stage with a wall-clock marker on stderr (the JSON
+    contract is stdout-only) — makes a slow remote compile attributable."""
+    if _t0[0] is None:
+        _t0[0] = time.monotonic()
+    t = time.monotonic()
+    out = fn()
+    print(f"[bench {time.monotonic() - _t0[0]:7.1f}s] {name} done "
+          f"(+{time.monotonic() - t:.1f}s)", file=sys.stderr, flush=True)
+    return out
+
+
 def main(extra: bool = False):
     del extra  # accepted for compatibility; everything runs by default
-    hmc = bench_hmc_flagship()
-    nuts = bench_nuts()
+    hmc = _staged("hmc_flagship", bench_hmc_flagship)
+    nuts = _staged("nuts", bench_nuts)
     ess_per_sec = hmc.pop("ess_per_sec")
     detail = dict(hmc)
     detail["backend"] = jax.default_backend()
     detail["nuts"] = nuts
-    detail["mh_gauss2d_65k"] = bench_mh_gauss2d()
-    detail["gibbs_mixture_65k"] = bench_gibbs()
-    detail.update(bench_extras())
+    detail["mh_gauss2d_65k"] = _staged("mh_gauss2d", bench_mh_gauss2d)
+    detail["gibbs_mixture_65k"] = _staged("gibbs", bench_gibbs)
+    detail.update(_staged("extras", bench_extras))
     result = {
         "metric": "effective_samples_per_sec_per_chip",
         "value": ess_per_sec,

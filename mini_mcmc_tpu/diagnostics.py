@@ -30,6 +30,7 @@ on-device over the full ``[C, N, P]`` cube; per-parameter ranking sorts
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -37,16 +38,20 @@ import jax.numpy as jnp
 from .stats import _ess, _splitcat, _withinvar
 
 
-def _rank_normalize_flat(flat: jax.Array) -> jax.Array:
-    """Fractional-offset rank-normalization of ``[S, P]`` draws -> z-scores.
+def _rank_normalize_pm(flat_pm: jax.Array) -> jax.Array:
+    """Fractional-offset rank-normalization of ``[P, S]`` draws -> z-scores.
 
     Ordinal ranks via double argsort (ties are measure-zero for continuous
     float draws), then the Blom-offset normal quantile
     ``z = Phi^-1((r + 1 - 3/8) / (S + 1/4))`` (Vehtari et al. 2021, eq. 14).
+
+    Layout: parameters-major, draws on the MINOR axis — on TPU a tiny
+    minor dim gets lane-padded to 128 (a 42x memory blowup for P=3 cubes),
+    so all big sorts here run along the well-tiled draws axis.
     """
-    s = flat.shape[0]
-    order = jnp.argsort(flat, axis=0)
-    ranks = jnp.argsort(order, axis=0).astype(jnp.float32)  # 0-based
+    s = flat_pm.shape[1]
+    order = jnp.argsort(flat_pm, axis=1)
+    ranks = jnp.argsort(order, axis=1).astype(jnp.float32)  # 0-based
     u = (ranks + (1.0 - 0.375)) / (s + 0.25)
     return jax.scipy.special.ndtri(u).astype(jnp.float32)
 
@@ -54,8 +59,9 @@ def _rank_normalize_flat(flat: jax.Array) -> jax.Array:
 def _rank_normalize_cube(sample: jax.Array) -> jax.Array:
     """Rank-normalize a ``[C, N, P]`` cube over ALL draws per parameter."""
     c, n, p = sample.shape
-    flat = sample.reshape(c * n, p)
-    return _rank_normalize_flat(flat).reshape(c, n, p)
+    pm = jnp.transpose(sample, (2, 0, 1)).reshape(p, c * n)
+    z = _rank_normalize_pm(pm)
+    return jnp.transpose(z.reshape(p, c, n), (1, 2, 0))
 
 
 def _standard_split_rhat(splitted: jax.Array) -> jax.Array:
@@ -97,6 +103,47 @@ class ModernDiagnostics:
         )
 
 
+@partial(jax.jit, static_argnames=())
+def _diagnostics_impl(sample: jax.Array):
+    """Jitted core over a chain-major ``[C, N, P]`` cube.
+
+    One compiled program: XLA fuses the transposes/slices and frees
+    intermediates, where eager op-by-op dispatch materialized every
+    temporary (and, on TPU, lane-padded the P-minor ones 42x — the
+    flagship-scale OOM this layout exists to avoid).
+    """
+    c, n, p = sample.shape
+    pm = jnp.transpose(sample, (2, 0, 1)).reshape(p, c * n)  # [P, S]
+
+    # bulk: rank-normalize all draws, then standard split R-hat + ESS
+    z = _rank_normalize_cube(sample)
+    rhat_bulk, ess_bulk = _split_rhat_and_ess(z)
+
+    # folded: rank-normalize |x - median| — detects scale disagreement
+    # between chains that classic (mean-based) R-hat cannot see
+    median = jnp.quantile(pm, 0.5, axis=1)  # [P]
+    folded = jnp.abs(sample - median[None, None, :])
+    z_fold = _rank_normalize_cube(folded)
+    rhat_folded = _standard_split_rhat(_splitcat(z_fold))
+
+    # tail: ESS of the RAW 5% / 95% exceedance indicators (Vehtari et al.
+    # sec. 4.3 — the indicator is already bounded, so no rank transform;
+    # rank-normalizing a two-valued array would turn argsort tie order
+    # into a spurious time ramp and collapse the ESS)
+    q05 = jnp.quantile(pm, 0.05, axis=1)
+    q95 = jnp.quantile(pm, 0.95, axis=1)
+    ess_tails = []
+    for ind in (
+        (sample <= q05[None, None, :]),
+        (sample >= q95[None, None, :]),
+    ):
+        splitted = _splitcat(ind.astype(jnp.float32))
+        within, var = _withinvar(splitted)
+        ess_tails.append(_ess(splitted, within, var))
+    ess_tail = jnp.minimum(*ess_tails)
+    return rhat_bulk, rhat_folded, ess_bulk, ess_tail
+
+
 def rank_normalized_diagnostics(
     sample: jax.Array, *, time_major: bool = False
 ) -> ModernDiagnostics:
@@ -118,38 +165,7 @@ def rank_normalized_diagnostics(
         )
     if time_major:
         sample = jnp.swapaxes(sample, 0, 1)
-    c, n, p = sample.shape
-    flat = sample.reshape(c * n, p)
-
-    # bulk: rank-normalize all draws, then standard split R-hat + ESS
-    z = _rank_normalize_cube(sample)
-    rhat_bulk, ess_bulk = _split_rhat_and_ess(z)
-
-    # folded: rank-normalize |x - median| — detects scale disagreement
-    # between chains that classic (mean-based) R-hat cannot see
-    median = jnp.quantile(flat, 0.5, axis=0)  # [P]
-    folded = jnp.abs(sample - median[None, None, :])
-    z_fold = _rank_normalize_cube(folded)
-    rhat_folded = _standard_split_rhat(_splitcat(z_fold))
-
-    # tail: ESS of the RAW 5% / 95% exceedance indicators (Vehtari et al.
-    # sec. 4.3 — the indicator is already bounded, so no rank transform;
-    # rank-normalizing a two-valued array would turn argsort tie order
-    # into a spurious time ramp and collapse the ESS)
-    q05, q95 = (
-        jnp.quantile(flat, 0.05, axis=0),
-        jnp.quantile(flat, 0.95, axis=0),
-    )
-    ess_tails = []
-    for ind in (
-        (sample <= q05[None, None, :]),
-        (sample >= q95[None, None, :]),
-    ):
-        splitted = _splitcat(ind.astype(jnp.float32))
-        within, var = _withinvar(splitted)
-        ess_tails.append(_ess(splitted, within, var))
-    ess_tail = jnp.minimum(*ess_tails)
-
+    rhat_bulk, rhat_folded, ess_bulk, ess_tail = _diagnostics_impl(sample)
     return ModernDiagnostics(
         rhat=jnp.maximum(rhat_bulk, rhat_folded),
         rhat_bulk=rhat_bulk,
