@@ -87,6 +87,21 @@ def test_time_major_layout_matches_chain_major():
                                    rtol=1e-6)
 
 
+def test_rank_normalize_matches_scipy_reference():
+    # the rank stage must agree with scipy's ordinal ranking + the Blom
+    # normal-quantile formula computed independently
+    from scipy import stats as sps
+
+    from mini_mcmc_tpu.diagnostics import _rank_normalize_pm
+
+    x = np.random.default_rng(0).normal(size=(3, 500)).astype(np.float32)
+    z = np.asarray(_rank_normalize_pm(jnp.asarray(x)))
+    for p in range(3):
+        r = sps.rankdata(x[p], method="ordinal") - 1  # 0-based
+        expect = sps.norm.ppf((r + 1 - 0.375) / (500 + 0.25))
+        np.testing.assert_allclose(z[p], expect, rtol=2e-5, atol=2e-6)
+
+
 def test_rejects_non_cube_input():
     with pytest.raises(ValueError, match="3-D"):
         rank_normalized_diagnostics(jnp.zeros((4, 100)))
