@@ -75,7 +75,7 @@ def _standard_split_rhat(splitted: jax.Array) -> jax.Array:
 def _split_rhat_and_ess(cube: jax.Array):
     splitted = _splitcat(cube)
     within, var = _withinvar(splitted)
-    rhat = jnp.sqrt(var / within)
+    rhat = jnp.sqrt(var / within)  # = _standard_split_rhat(splitted)
     ess = _ess(splitted, within, var)
     return rhat, ess
 

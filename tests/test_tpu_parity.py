@@ -35,6 +35,8 @@ HMC_EFF_BANDS = ((0.030, 0.092), (0.031, 0.096))
 _SCRIPT = r"""
 import json, sys
 import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/mini_mcmc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 if jax.default_backend() != "tpu":
     sys.exit(42)
 import jax.numpy as jnp
@@ -116,7 +118,7 @@ mix = gaussian_mixture_conditional(-2.0, 1.0, 3.0, 1.5, 0.5)
 for label, kw in [("pallas", {"use_pallas": "full", "steps_per_call": 16}),
                   ("xla", {})]:
     g = GibbsSampler(mix, jnp.zeros((8192, 2)), **kw).seed(17)
-    gs = np.asarray(g.run(1024, 256 if label == "xla" else 256))
+    gs = np.asarray(g.run(1024, 256))
     out["gibbs_" + label] = {
         "x_mean": float(gs[:, :, 0].mean()),
         "x_var": float(gs[:, :, 0].var()),
