@@ -30,6 +30,7 @@ def _run_example(name):
         "mixture_gibbs",
         "logistic_regression_nuts",
         "metric_nuts",
+        "eight_schools_nuts",
     ],
 )
 def test_example(name):
