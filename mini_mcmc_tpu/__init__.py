@@ -21,7 +21,7 @@ from .checkpoint import load_checkpoint, save_checkpoint
 from .diagnostics import ModernDiagnostics, rank_normalized_diagnostics
 from .nuts import NUTS
 from .runner import make_initial_recording_runner, make_simple_runner
-from .samplers import HMC, GibbsSampler, MetropolisHastings
+from .samplers import HMC, EnsembleSampler, GibbsSampler, MetropolisHastings
 from .stats import (
     RunStats,
     basic_stats,
@@ -36,6 +36,7 @@ __version__ = "0.1.0"
 __all__ = [
     "HMC",
     "NUTS",
+    "EnsembleSampler",
     "GibbsSampler",
     "MetropolisHastings",
     "RunStats",

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from . import stats as stats_mod
 from .models.base import Conditional, Proposal, Target
+from .ops.ensemble import ensemble_kernel
 from .ops.gibbs import gibbs_kernel
 from .ops.hmc import hmc_kernel
 from .ops.mh import mh_kernel
@@ -273,6 +274,42 @@ class HMC(_KernelSampler):
         if seed is None:
             new._key = self._next_key()
         return new
+
+
+class EnsembleSampler(_KernelSampler):
+    """Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch
+    move, the ``emcee`` algorithm) — beyond-reference, gradient-free.
+
+    ``initial_positions [C, D]`` holds ``C / walkers_per_ensemble``
+    independent ensembles advancing in one lockstep batch
+    (``ops/ensemble.py``); by default all ``C`` chains form ONE ensemble.
+    Use >= 2*D walkers per ensemble; spread the initial walker cloud (the
+    move interpolates through pairs, so a degenerate cloud collapses).
+    One ``run`` row per full sweep (both halves updated).
+
+    Example:
+        >>> from mini_mcmc_tpu import EnsembleSampler, init_det
+        >>> from mini_mcmc_tpu.models import gaussian2d
+        >>> target = gaussian2d([0., 0.], [[1., 0.], [0., 1.]])
+        >>> es = EnsembleSampler(target, init_det(32, 2)).seed(42)
+        >>> es.run(1000, 100).shape
+        (32, 1000, 2)
+    """
+
+    def __init__(self, target: Target, initial_positions,
+                 walkers_per_ensemble: Optional[int] = None, a: float = 2.0,
+                 seed: Optional[int] = None, steps_per_call: int = 1):
+        self.target = target
+        self.a = a
+        n_chains = jnp.shape(jnp.asarray(initial_positions))[0]
+        if walkers_per_ensemble is None:
+            walkers_per_ensemble = n_chains
+        self.walkers_per_ensemble = walkers_per_ensemble
+        init_fn, step_fn = ensemble_kernel(
+            target, walkers_per_ensemble=walkers_per_ensemble, a=a,
+            steps_per_call=steps_per_call,
+        )
+        super().__init__(init_fn, step_fn, initial_positions, seed)
 
 
 class GibbsSampler(_KernelSampler):
