@@ -3,7 +3,9 @@
 A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
 ``mini-mcmc`` (Rust, reference at /root/reference): Metropolis-Hastings,
 Hamiltonian Monte Carlo, the No-U-Turn Sampler and Gibbs sampling over
-thousands of lockstep parallel chains, with streaming convergence
+thousands of lockstep parallel chains — plus beyond-reference
+affine-invariant ensemble (``EnsembleSampler``) and replica-exchange
+(``ParallelTempering``) samplers — with streaming convergence
 diagnostics (acceptance EWMA, live R-hat), Stan-style split R-hat + ESS,
 progress reporting, reproducible counter-based PRNG, checkpoint/resume, and
 CSV/Arrow/Parquet export of the canonical ``[n_chains, n_collect, dim]``
@@ -20,8 +22,15 @@ from . import models, ops, parallel, stats, utils
 from .checkpoint import load_checkpoint, save_checkpoint
 from .diagnostics import ModernDiagnostics, rank_normalized_diagnostics
 from .nuts import NUTS
+from .ops.tempering import geometric_betas
 from .runner import make_initial_recording_runner, make_simple_runner
-from .samplers import HMC, EnsembleSampler, GibbsSampler, MetropolisHastings
+from .samplers import (
+    HMC,
+    EnsembleSampler,
+    GibbsSampler,
+    MetropolisHastings,
+    ParallelTempering,
+)
 from .stats import (
     RunStats,
     basic_stats,
@@ -39,6 +48,8 @@ __all__ = [
     "EnsembleSampler",
     "GibbsSampler",
     "MetropolisHastings",
+    "ParallelTempering",
+    "geometric_betas",
     "RunStats",
     "basic_stats",
     "chain_keys",

@@ -31,6 +31,7 @@ from .ops.ensemble import ensemble_kernel
 from .ops.gibbs import gibbs_kernel
 from .ops.hmc import hmc_kernel
 from .ops.mh import mh_kernel
+from .ops.tempering import geometric_betas, tempering_kernel
 from .progress import progress_run
 from .runner import _default_positions_of, make_simple_runner
 
@@ -310,6 +311,60 @@ class EnsembleSampler(_KernelSampler):
             steps_per_call=steps_per_call,
         )
         super().__init__(init_fn, step_fn, initial_positions, seed)
+
+
+class ParallelTempering(_KernelSampler):
+    """Replica-exchange random-walk Metropolis (beyond-reference).
+
+    ``C`` logical chains, each with ``len(betas)`` replicas against the
+    tempered densities ``beta * logp``; all ``T * C`` replicas advance in
+    one lockstep batch and neighboring temperatures exchange states with
+    the Metropolis swap rule each step (``ops/tempering.py``). The sample
+    cube contains only the cold (beta = 1) replicas —
+    ``[n_chains, n_collect, dim]`` like every other sampler; hot replicas
+    are internal (checkpointed) state. This is the tool for multimodal
+    targets where single-temperature MH mixes between modes at an
+    exponentially small rate.
+
+    ``betas``: the ladder, defaults to ``geometric_betas(8)``;
+    ``proposal_std``: cold-chain random-walk scale (scalar or ``[D]``),
+    hotter replicas scale it by ``1/sqrt(beta)``; ``n_inner``:
+    within-temperature sweeps per swap sweep. ``swap_acceptance`` exposes
+    the streaming per-pair EWMA (tune the ladder toward ~20-40%).
+    """
+
+    def __init__(self, target: Target, initial_positions,
+                 betas: Optional[tuple] = None, proposal_std=1.0,
+                 n_inner: int = 1, seed: Optional[int] = None,
+                 steps_per_call: int = 1):
+        self.target = target
+        if betas is None:
+            betas = geometric_betas(8)
+        self.betas = tuple(float(b) for b in betas)
+        n_cold = jnp.shape(jnp.asarray(initial_positions))[0]
+        self._n_cold = int(n_cold)
+        init_fn, step_fn = tempering_kernel(
+            target, self.betas, proposal_std=proposal_std, n_inner=n_inner,
+            steps_per_call=steps_per_call,
+        )
+        # positions_map extracts the cold replicas (ladder-major rows
+        # [0, C)) from the [T*C, D] replica batch — applied both to
+        # recorded rows and to the `.positions` property.
+        super().__init__(init_fn, step_fn, initial_positions, seed,
+                         positions_map=lambda p: p[..., : self._n_cold, :])
+
+    @property
+    def n_chains(self) -> int:
+        return self._n_cold
+
+    @property
+    def n_replicas(self) -> int:
+        return self.state.positions.shape[0]
+
+    @property
+    def swap_acceptance(self) -> jax.Array:
+        """``[T-1]`` streaming EWMA of neighbor swap acceptance."""
+        return self.state.swap_accept
 
 
 class GibbsSampler(_KernelSampler):
