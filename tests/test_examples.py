@@ -31,6 +31,8 @@ def _run_example(name):
         "logistic_regression_nuts",
         "metric_nuts",
         "eight_schools_nuts",
+        "ensemble_walkers",
+        "bimodal_tempering",
     ],
 )
 def test_example(name):
