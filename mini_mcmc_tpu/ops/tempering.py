@@ -13,7 +13,7 @@ percolate those jumps down to the cold (beta = 1) replica, whose trajectory
 is the sample. The Rust reference has no tempering.
 
 TPU-native design: the temperature ladder is just another batch dimension —
-all ``T * C`` replicas advance in one lockstep ``[T*C, D]``
+all ``T * C`` replicas advance in one lockstep ``[T, C, D]``
 random-walk-Metropolis batch (with the per-temperature proposal scale
 ``sigma / sqrt(beta_t)``, matching the tempered density's width), and a
 swap sweep is a vectorized ``take_along_axis`` permutation over the ladder
@@ -21,6 +21,16 @@ axis: even pairs on even steps, odd pairs on odd steps (the standard
 alternating scheme), decided for all chains at once. No per-replica loops,
 no host round-trips; the whole step compiles into the collection scan like
 every other kernel.
+
+The state keeps the ladder axis SEPARATE from the chain axis (``[T, C, D]``
+rather than a flattened ``[T*C, D]``) so multi-chip sharding lands on the
+chain axis: ``parallel.shard_sampler_state`` places chains over the mesh
+and replicates the (small) ladder axis, the within-temperature sweep stays
+embarrassingly parallel, and the swap permutation gathers along the
+REPLICATED ladder axis — device-local, zero collectives in the sampling
+scan (pinned by ``tests/test_parallel.py``). Where a thread-per-chain
+design needs cross-worker state exchange for swaps, this layout needs a
+local gather.
 
 The recorded sample cube contains ONLY the cold replicas (``[C, N, D]``);
 hot replicas are internal state (checkpointed with it). A streaming EWMA of
@@ -44,10 +54,26 @@ _SWAP_EWMA_ALPHA = 0.05
 
 
 class PTState(NamedTuple):
-    positions: jax.Array  # [T*C, D], ladder-major: rows [0, C) are beta=1
-    raw_logp: jax.Array  # [T*C] UNtempered target log density cache
+    positions: jax.Array  # [T, C, D]; row 0 is the cold (beta=1) ladder rung
+    raw_logp: jax.Array  # [T, C] UNtempered target log density cache
     parity: jax.Array  # int32 scalar: which pair parity swaps next
-    swap_accept: jax.Array  # [T-1] EWMA of per-pair swap acceptance
+    #: [T-1, C] EWMA of each (pair, chain)'s swap-accept indicator. Kept
+    #: PER CHAIN so the hot loop reduces nothing across the (sharded)
+    #: chain axis — the ladder-mean is taken at read time
+    #: (ParallelTempering.swap_acceptance), outside the sampling scan.
+    swap_accept: jax.Array
+
+
+#: Chain-axis index per field (None = replicate), consumed by
+#: ``parallel.shard_sampler_state``: chains are axis 1 here, not the
+#: default leading axis, and the ladder/pair axes must be replicated so
+#: swap gathers stay device-local.
+PTState.CHAIN_AXIS_INDEX = {
+    "positions": 1,
+    "raw_logp": 1,
+    "parity": None,
+    "swap_accept": 1,
+}
 
 
 def geometric_betas(n_temps: int, beta_min: float = 0.01) -> tuple:
@@ -93,58 +119,56 @@ def tempering_kernel(target: Target, betas: Sequence[float], *,
     t_count = len(betas)
     beta_col = jnp.asarray(betas, jnp.float32)[:, None]  # [T, 1]
 
+    batch_logp_l = jax.vmap(target.batch_logp)  # [T, C, D] -> [T, C]
+
     def init_fn(positions: jax.Array) -> PTState:
-        c, d = positions.shape
-        tiled = jnp.tile(positions, (t_count, 1))  # [T*C, D]
+        lp = target.batch_logp(positions)  # [C]
         return PTState(
-            positions=tiled,
-            raw_logp=target.batch_logp(tiled),
+            positions=jnp.tile(positions[None], (t_count, 1, 1)),
+            raw_logp=jnp.tile(lp[None], (t_count, 1)),
             parity=jnp.zeros((), jnp.int32),
-            swap_accept=jnp.zeros((t_count - 1,), jnp.float32),
+            swap_accept=jnp.zeros(
+                (t_count - 1, positions.shape[0]), jnp.float32
+            ),
         )
 
-    def _inner_sweep(key, positions, raw_logp, sigma_rows):
-        """One within-temperature MH update for all T*C replicas."""
+    def _inner_sweep(key, positions, raw_logp, sigma_l):
+        """One within-temperature MH update for all [T, C] replicas."""
         k_prop, k_u = jax.random.split(key)
         noise = jax.random.normal(k_prop, positions.shape, positions.dtype)
-        proposed = positions + sigma_rows * noise
-        prop_lp = target.batch_logp(proposed)
-        tc = positions.shape[0]
-        beta_rows = jnp.repeat(beta_col[:, 0], tc // t_count)  # [T*C]
-        log_acc = beta_rows * (prop_lp - raw_logp)
-        u = jax.random.uniform(k_u, (tc,), log_acc.dtype)
+        proposed = positions + sigma_l * noise
+        prop_lp = batch_logp_l(proposed)  # [T, C]
+        log_acc = beta_col * (prop_lp - raw_logp)
+        u = jax.random.uniform(k_u, log_acc.shape, log_acc.dtype)
         accept = log_acc > jnp.log(u)
         return (
-            jnp.where(accept[:, None], proposed, positions),
+            jnp.where(accept[..., None], proposed, positions),
             jnp.where(accept, prop_lp, raw_logp),
         )
 
     def step_fn(state: PTState, key: jax.Array) -> PTState:
-        tc, d = state.positions.shape
-        c = tc // t_count
+        c = state.positions.shape[1]
         k_inner, k_swap = jax.random.split(key)
 
         # Per-replica proposal scale: sigma / sqrt(beta) — sigma may be a
-        # scalar or per-dimension [D]; rows are ladder-major like positions.
+        # scalar or per-dimension [D]; broadcast over the [T, C, D] batch.
         sigma = jnp.atleast_1d(
             jnp.asarray(proposal_std, state.positions.dtype)
         )
         inv_sqrt_beta = 1.0 / jnp.sqrt(beta_col[:, 0])  # [T]
-        sigma_rows = (
-            jnp.repeat(inv_sqrt_beta, c)[:, None] * sigma[None, :]
-        )  # [T*C, 1 or D]
+        sigma_l = inv_sqrt_beta[:, None, None] * sigma[None, None, :]
 
         positions, raw_logp = state.positions, state.raw_logp
         for sub in jax.random.split(k_inner, n_inner):
             positions, raw_logp = _inner_sweep(
-                sub, positions, raw_logp, sigma_rows
+                sub, positions, raw_logp, sigma_l
             )
 
         # Swap sweep: pairs (t, t+1) with t = parity (mod 2), all chains
         # at once. take_from[t, chain] = ladder row this replica pulls its
-        # new state from (identity when the pair holds).
-        pos_l = positions.reshape(t_count, c, d)
-        lp_l = raw_logp.reshape(t_count, c)
+        # new state from (identity when the pair holds). The gather runs
+        # along the replicated ladder axis — local under chain sharding.
+        pos_l, lp_l = positions, raw_logp
         t_idx = jnp.arange(t_count - 1)
         pair_active = (t_idx % 2) == (state.parity % 2)  # [T-1]
         delta_beta = beta_col[:-1, 0] - beta_col[1:, 0]  # [T-1] > 0
@@ -164,17 +188,18 @@ def tempering_kernel(target: Target, betas: Sequence[float], *,
         pos_l = jnp.take_along_axis(pos_l, take_from[:, :, None], axis=0)
         lp_l = jnp.take_along_axis(lp_l, take_from, axis=0)
 
-        # Streaming swap-acceptance EWMA, only for this step's active pairs.
-        rate = jnp.mean(swap.astype(jnp.float32), axis=1)  # [T-1]
+        # Streaming per-(pair, chain) swap-accept EWMA, only for this
+        # step's active pairs — elementwise over [T-1, C], so nothing
+        # reduces across the (sharded) chain axis inside the scan.
         swap_accept = jnp.where(
-            pair_active,
+            pair_active[:, None],
             (1.0 - _SWAP_EWMA_ALPHA) * state.swap_accept
-            + _SWAP_EWMA_ALPHA * rate,
+            + _SWAP_EWMA_ALPHA * swap.astype(jnp.float32),
             state.swap_accept,
         )
         return PTState(
-            positions=pos_l.reshape(tc, d),
-            raw_logp=lp_l.reshape(tc),
+            positions=pos_l,
+            raw_logp=lp_l,
             parity=(state.parity + 1) % 2,
             swap_accept=swap_accept,
         )

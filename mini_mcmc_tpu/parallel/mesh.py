@@ -59,8 +59,29 @@ def shard_chains(mesh: Mesh, array: jax.Array) -> jax.Array:
 
 
 def shard_sampler_state(mesh: Mesh, state):
-    """Shard every leaf of a sampler state pytree along its leading (chains)
-    axis; scalar leaves are replicated."""
+    """Shard every leaf of a sampler state pytree along its chains axis;
+    scalar leaves are replicated.
+
+    By default the chains axis is the leading axis of every leaf. A state
+    type may override per field with a ``CHAIN_AXIS_INDEX`` class attribute
+    mapping field name -> axis index or ``None`` (replicate) — e.g. the
+    parallel-tempering state keeps chains on axis 1 behind the temperature
+    ladder (``ops/tempering.py``)."""
+    axis_of = getattr(type(state), "CHAIN_AXIS_INDEX", None)
+    if axis_of is not None and hasattr(state, "_fields"):
+        placed = {}
+        for name in state._fields:
+            x = getattr(state, name)
+            axis = axis_of.get(name, 0)
+            if axis is None or getattr(x, "ndim", 0) < 1:
+                placed[name] = jax.device_put(x, replicated_sharding(mesh))
+            else:
+                spec = [None] * x.ndim
+                spec[axis] = CHAIN_AXIS
+                placed[name] = jax.device_put(
+                    x, NamedSharding(mesh, P(*spec))
+                )
+        return type(state)(**placed)
 
     def place(x):
         if getattr(x, "ndim", 0) >= 1:

@@ -347,24 +347,31 @@ class ParallelTempering(_KernelSampler):
             target, self.betas, proposal_std=proposal_std, n_inner=n_inner,
             steps_per_call=steps_per_call,
         )
-        # positions_map extracts the cold replicas (ladder-major rows
-        # [0, C)) from the [T*C, D] replica batch — applied both to
-        # recorded rows and to the `.positions` property.
+        # positions_map extracts the cold ladder rung (rung 0) from the
+        # [..., T, C, D] replica batch — the ellipsis covers the block
+        # runner's [K, T, C, D] row stacks as well as the bare state.
         super().__init__(init_fn, step_fn, initial_positions, seed,
-                         positions_map=lambda p: p[..., : self._n_cold, :])
+                         positions_map=lambda p: p[..., 0, :, :])
 
     @property
     def n_chains(self) -> int:
         return self._n_cold
 
     @property
+    def dim(self) -> int:
+        return self.state.positions.shape[2]
+
+    @property
     def n_replicas(self) -> int:
-        return self.state.positions.shape[0]
+        t, c = self.state.positions.shape[:2]
+        return t * c
 
     @property
     def swap_acceptance(self) -> jax.Array:
-        """``[T-1]`` streaming EWMA of neighbor swap acceptance."""
-        return self.state.swap_accept
+        """``[T-1]`` streaming EWMA of neighbor swap acceptance (mean over
+        chains; the per-chain ``[T-1, C]`` surface is
+        ``state.swap_accept``)."""
+        return jnp.mean(self.state.swap_accept, axis=1)
 
 
 class GibbsSampler(_KernelSampler):

@@ -261,6 +261,40 @@ def test_sharded_time_major_diagnostics_match():
                                rtol=1e-3)
 
 
+def test_sharded_tempering_zero_collectives_and_equivalence():
+    # The PT state keeps chains on axis 1 behind the temperature ladder
+    # (PTState.CHAIN_AXIS_INDEX): shard_sampler_state places chains over
+    # the mesh and replicates the ladder/pair axes, so the swap sweep's
+    # ladder-axis gather is device-local — the sampling scan must compile
+    # to ZERO collectives, like every other sampler's.
+    from mini_mcmc_tpu import ParallelTempering, geometric_betas
+
+    target = gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+
+    def make():
+        return ParallelTempering(
+            target, init_det(1024, 2), betas=geometric_betas(4, 0.05),
+            proposal_std=1.5,
+        ).seed(9)
+
+    pt = make()
+    mesh = chain_mesh()
+    pt.state = shard_sampler_state(mesh, pt.state)
+    assert pt.state.positions.sharding.spec == (None, "chains", None)
+    assert pt.state.swap_accept.sharding.spec == (None, "chains")
+    hlo = pt._runner.lower(
+        pt.state, jax.random.PRNGKey(0), 64, 16,
+        tracker=None, time_major=False,
+    ).compile().as_text()
+    found = [op for op in _COLLECTIVE_OPS if op in hlo]
+    assert not found, f"PT sampling scan emitted collectives: {found}"
+
+    # sharded == unsharded bit-for-bit (same keys, same program semantics)
+    a = np.asarray(make().run(64, 16))
+    b = np.asarray(pt.run(64, 16))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_sharded_ensemble_runs():
     # The ensemble sampler shards at ensemble granularity: 64 ensembles x
     # 32 walkers over 8 devices = 8 whole ensembles per shard, so partner

@@ -95,7 +95,9 @@ def test_raw_logp_cache_consistent_after_swaps():
         target, jnp.full((8, 1), -8.0), betas=geometric_betas(4, 0.05)
     ).seed(7)
     pt.run(200, 0)
-    fresh = target.batch_logp(pt.state.positions)
+    import jax
+
+    fresh = jax.vmap(target.batch_logp)(pt.state.positions)
     np.testing.assert_allclose(
         np.asarray(pt.state.raw_logp), np.asarray(fresh), rtol=1e-6
     )
