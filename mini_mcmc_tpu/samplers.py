@@ -348,10 +348,13 @@ class ParallelTempering(_KernelSampler):
             steps_per_call=steps_per_call,
         )
         # positions_map extracts the cold ladder rung (rung 0) from the
-        # [..., T, C, D] replica batch — the ellipsis covers the block
-        # runner's [K, T, C, D] row stacks as well as the bare state.
-        super().__init__(init_fn, step_fn, initial_positions, seed,
-                         positions_map=lambda p: p[..., 0, :, :])
+        # [..., T, D, C] chains-on-lanes replica batch and restores the
+        # [C, D] user layout — the ellipsis covers the block runner's
+        # [K, T, D, C] row stacks as well as the bare state.
+        super().__init__(
+            init_fn, step_fn, initial_positions, seed,
+            positions_map=lambda p: jnp.swapaxes(p[..., 0, :, :], -1, -2),
+        )
 
     @property
     def n_chains(self) -> int:
@@ -359,11 +362,11 @@ class ParallelTempering(_KernelSampler):
 
     @property
     def dim(self) -> int:
-        return self.state.positions.shape[2]
+        return self.state.positions.shape[1]
 
     @property
     def n_replicas(self) -> int:
-        t, c = self.state.positions.shape[:2]
+        t, _, c = self.state.positions.shape
         return t * c
 
     @property

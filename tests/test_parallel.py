@@ -262,11 +262,11 @@ def test_sharded_time_major_diagnostics_match():
 
 
 def test_sharded_tempering_zero_collectives_and_equivalence():
-    # The PT state keeps chains on axis 1 behind the temperature ladder
-    # (PTState.CHAIN_AXIS_INDEX): shard_sampler_state places chains over
-    # the mesh and replicates the ladder/pair axes, so the swap sweep's
-    # ladder-axis gather is device-local — the sampling scan must compile
-    # to ZERO collectives, like every other sampler's.
+    # The PT state keeps chains on the lanes axis behind the temperature
+    # ladder (PTState.CHAIN_AXIS_INDEX): shard_sampler_state places chains
+    # over the mesh and replicates the ladder/pair axes, so the swap
+    # sweep's ladder-axis shifts are device-local — the sampling scan must
+    # compile to ZERO collectives, like every other sampler's.
     from mini_mcmc_tpu import ParallelTempering, geometric_betas
 
     target = gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
@@ -280,7 +280,7 @@ def test_sharded_tempering_zero_collectives_and_equivalence():
     pt = make()
     mesh = chain_mesh()
     pt.state = shard_sampler_state(mesh, pt.state)
-    assert pt.state.positions.sharding.spec == (None, "chains", None)
+    assert pt.state.positions.sharding.spec == (None, None, "chains")
     assert pt.state.swap_accept.sharding.spec == (None, "chains")
     hlo = pt._runner.lower(
         pt.state, jax.random.PRNGKey(0), 64, 16,

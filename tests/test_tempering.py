@@ -97,7 +97,8 @@ def test_raw_logp_cache_consistent_after_swaps():
     pt.run(200, 0)
     import jax
 
-    fresh = jax.vmap(target.batch_logp)(pt.state.positions)
+    # positions are [T, D, C] chains-on-lanes; evaluate per rung
+    fresh = jax.vmap(lambda p: target.batch_logp(p.T))(pt.state.positions)
     np.testing.assert_allclose(
         np.asarray(pt.state.raw_logp), np.asarray(fresh), rtol=1e-6
     )
