@@ -115,7 +115,8 @@ def _shift_down(x):
 
 def tempering_kernel(target: Target, betas: Sequence[float], *,
                      proposal_std=1.0, n_inner: int = 1,
-                     steps_per_call: int = 1):
+                     steps_per_call: int = 1, use_pallas=False,
+                     pallas_interpret: bool = False):
     """Build ``(init_fn, step_fn)`` for replica-exchange random-walk MH.
 
     ``init_fn(positions [C, D]) -> PTState`` replicates the cold-chain
@@ -124,6 +125,13 @@ def tempering_kernel(target: Target, betas: Sequence[float], *,
     alternating-parity swap sweep. ``proposal_std``: cold-chain random-walk
     scale (scalar or per-dimension ``[D]``); replica t proposes with
     ``proposal_std / sqrt(beta_t)``.
+
+    ``use_pallas="full"`` fuses everything (hardware-PRNG proposals, the
+    unrolled ladder update, swap sweeps, the acceptance EWMA) into one
+    on-chip kernel per K steps (``ops/pallas/tempering_full.py``):
+    requires ``target.logp_dc``; distribution-identical to the XLA path on
+    a different (hardware) PRNG stream; TPU-only; n_chains must be a
+    multiple of 1024.
     """
     betas = tuple(float(b) for b in betas)
     if len(betas) < 2:
@@ -142,6 +150,31 @@ def tempering_kernel(target: Target, betas: Sequence[float], *,
         raise ValueError(f"steps_per_call must be >= 1, got {steps_per_call}")
     t_count = len(betas)
     beta_col = jnp.asarray(betas, jnp.float32)[:, None]  # [T, 1]
+
+    pallas_single = None
+    pallas_multistep = None
+    if use_pallas:
+        if use_pallas != "full":
+            raise ValueError(
+                "tempering has no trajectory to fuse separately — the only "
+                f'Pallas variant is use_pallas="full"; got {use_pallas!r}'
+            )
+        if target.logp_dc is None:
+            raise ValueError('use_pallas="full" requires target.logp_dc')
+        from .pallas.tempering_full import make_pallas_pt_multistep
+
+        # K=1 driver: compile the history output out (the returned cold
+        # positions ARE the step's sample row; pallas outputs are opaque
+        # to XLA DCE).
+        pallas_single = make_pallas_pt_multistep(
+            target.logp_dc, betas, proposal_std, 1, n_inner=n_inner,
+            interpret=pallas_interpret, with_history=False,
+        )
+        if steps_per_call > 1:
+            pallas_multistep = make_pallas_pt_multistep(
+                target.logp_dc, betas, proposal_std, steps_per_call,
+                n_inner=n_inner, interpret=pallas_interpret,
+            )
 
     if target.logp_dc is not None:
         logp_l = jax.vmap(target.logp_dc)  # [T, D, C] -> [T, C]
@@ -174,6 +207,14 @@ def tempering_kernel(target: Target, betas: Sequence[float], *,
         )
 
     def step_fn(state: PTState, key: jax.Array) -> PTState:
+        if pallas_single is not None:
+            from .pallas.rng import key_to_seed
+
+            pos, lp, sa = pallas_single(
+                state.positions, state.raw_logp, state.swap_accept,
+                state.parity, key_to_seed(key),
+            )
+            return PTState(pos, lp, (state.parity + 1) % 2, sa)
         k_inner, k_swap = jax.random.split(key)
 
         # Per-replica proposal scale: sigma / sqrt(beta) — sigma may be a
@@ -232,7 +273,26 @@ def tempering_kernel(target: Target, betas: Sequence[float], *,
         )
 
     if steps_per_call > 1:
-        step_fn.block_fn = make_scan_block_fn(step_fn, steps_per_call)
+        if pallas_multistep is not None:
+            from .pallas.rng import key_to_seed
+
+            def block_fn(state: PTState, key: jax.Array):
+                pos, lp, sa, rows = pallas_multistep(
+                    state.positions, state.raw_logp, state.swap_accept,
+                    state.parity, key_to_seed(key),
+                )
+                new = PTState(
+                    pos, lp, (state.parity + steps_per_call) % 2, sa
+                )
+                return new, rows
+
+            # the kernel's history is the cold rung already in the user
+            # [K, C, D] layout — the sampler must not re-apply its
+            # internal->user positions_map to these rows.
+            block_fn.rows_mapped = True
+            step_fn.block_fn = block_fn
+        else:
+            step_fn.block_fn = make_scan_block_fn(step_fn, steps_per_call)
         step_fn.block_size = steps_per_call
 
     return init_fn, step_fn

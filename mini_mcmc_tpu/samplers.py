@@ -76,7 +76,12 @@ class _KernelSampler:
             # steps_per_call); run() lengths must be multiples of K.
             from .runner import make_block_runner
 
-            if positions_map is not None:
+            # Fused block kernels may emit rows already in user [K, C, D]
+            # coordinates (block_fn.rows_mapped, e.g. the Pallas tempering
+            # kernel's cold-rung history) — only wrap the ones that return
+            # raw internal state rows.
+            if (positions_map is not None
+                    and not getattr(block_fn, "rows_mapped", False)):
                 raw_block = block_fn
 
                 def block_fn(state, key):
@@ -331,12 +336,18 @@ class ParallelTempering(_KernelSampler):
     hotter replicas scale it by ``1/sqrt(beta)``; ``n_inner``:
     within-temperature sweeps per swap sweep. ``swap_acceptance`` exposes
     the streaming per-pair EWMA (tune the ladder toward ~20-40%).
+
+    ``use_pallas="full"`` fuses whole PT steps (ladder sweeps + swap
+    sweeps, hardware-PRNG draws) into one on-chip kernel per
+    ``steps_per_call`` steps; requires ``target.logp_dc`` and a TPU (see
+    ``ops/pallas/tempering_full.py``).
     """
 
     def __init__(self, target: Target, initial_positions,
                  betas: Optional[tuple] = None, proposal_std=1.0,
                  n_inner: int = 1, seed: Optional[int] = None,
-                 steps_per_call: int = 1):
+                 steps_per_call: int = 1, use_pallas=False,
+                 pallas_interpret: bool = False):
         self.target = target
         if betas is None:
             betas = geometric_betas(8)
@@ -345,7 +356,8 @@ class ParallelTempering(_KernelSampler):
         self._n_cold = int(n_cold)
         init_fn, step_fn = tempering_kernel(
             target, self.betas, proposal_std=proposal_std, n_inner=n_inner,
-            steps_per_call=steps_per_call,
+            steps_per_call=steps_per_call, use_pallas=use_pallas,
+            pallas_interpret=pallas_interpret,
         )
         # positions_map extracts the cold ladder rung (rung 0) from the
         # [..., T, D, C] chains-on-lanes replica batch and restores the

@@ -291,3 +291,57 @@ def test_nuts_block_fit_respects_vmem_and_divisibility():
     # ValueError, not an opaque Mosaic VMEM-exhaustion failure (ADVICE r2)
     with pytest.raises(ValueError, match="VMEM budget"):
         _fit_block_c(8192, 8192, 512, 10)
+
+
+def test_pt_use_pallas_validates_requirements():
+    import pytest
+
+    from mini_mcmc_tpu import ParallelTempering
+    from mini_mcmc_tpu.models import gaussian2d, isotropic_gaussian_target
+
+    # target without logp_dc (the chains-on-lanes form the kernel needs)
+    with pytest.raises(ValueError, match="logp_dc"):
+        ParallelTempering(isotropic_gaussian_target(1.0), init_det(2, 2),
+                          betas=(1.0, 0.5), use_pallas="full")
+    # PT has no trajectory-only variant
+    with pytest.raises(ValueError, match="full"):
+        ParallelTempering(gaussian2d([0., 0.], [[1., 0.], [0., 1.]]),
+                          init_det(2, 2), betas=(1.0, 0.5), use_pallas=True)
+
+
+def test_pt_full_kernel_requires_tpu():
+    # Same hardware-PRNG limitation as the fused HMC/MH/NUTS/Gibbs kernels:
+    # the fused PT step must fail loudly off-TPU, never silently fall back.
+    # (Statistical validation runs on hardware: tests/test_tpu_parity.py.)
+    import pytest
+
+    from mini_mcmc_tpu import ParallelTempering
+    from mini_mcmc_tpu.models import gaussian2d
+
+    if jax.default_backend() == "tpu":
+        pytest.skip("runs for real on TPU (tests/test_tpu_parity.py)")
+    pt = ParallelTempering(
+        gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]]),
+        jnp.zeros((1024, 2), jnp.float32), betas=(1.0, 0.5, 0.25),
+        use_pallas="full", pallas_interpret=True,
+    ).seed(0)
+    with pytest.raises(Exception):
+        jax.block_until_ready(pt.run(2, 0))
+
+
+def test_pt_full_kernel_chain_count_validation():
+    # the fused PT kernel packs chains onto (sublane, lane) tiles — a
+    # non-1024-multiple chain count must be a clean ValueError at trace
+    # time, not a Mosaic layout failure
+    import pytest
+
+    from mini_mcmc_tpu import ParallelTempering
+    from mini_mcmc_tpu.models import gaussian2d
+
+    pt = ParallelTempering(
+        gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]]),
+        jnp.zeros((96, 2), jnp.float32), betas=(1.0, 0.5),
+        use_pallas="full", pallas_interpret=True,
+    ).seed(0)
+    with pytest.raises(ValueError, match="multiple of"):
+        pt.run(2, 0)
