@@ -22,7 +22,7 @@ from . import models, ops, parallel, stats, utils
 from .checkpoint import load_checkpoint, save_checkpoint
 from .diagnostics import ModernDiagnostics, rank_normalized_diagnostics
 from .nuts import NUTS
-from .ops.tempering import geometric_betas
+from .ops.tempering import geometric_betas, tune_betas
 from .runner import make_initial_recording_runner, make_simple_runner
 from .samplers import (
     HMC,
@@ -50,6 +50,7 @@ __all__ = [
     "MetropolisHastings",
     "ParallelTempering",
     "geometric_betas",
+    "tune_betas",
     "RunStats",
     "basic_stats",
     "chain_keys",

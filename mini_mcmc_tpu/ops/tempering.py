@@ -53,7 +53,7 @@ practitioners use to tune the ladder (aim for roughly 20-40%).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -101,6 +101,59 @@ def geometric_betas(n_temps: int, beta_min: float = 0.01) -> tuple:
     import numpy as np
 
     return tuple(float(b) for b in np.geomspace(1.0, beta_min, n_temps))
+
+
+def tune_betas(betas: Sequence[float], swap_acceptance,
+               n_temps: Optional[int] = None) -> tuple:
+    """Re-space a temperature ladder from measured swap rates.
+
+    Schedule tuning via the communication barrier (Syed et al. 2021,
+    "Non-reversible parallel tempering", JRSS-B, sec. 5.2): each pair's
+    rejection rate ``r_t = 1 - acc_t`` estimates the local communication
+    cost; the cumulative barrier ``Lambda(beta)`` is its piecewise-linear
+    interpolation along the ladder, and the optimal schedule places knots
+    at EQUAL barrier increments. Given the streaming per-pair EWMA from a
+    run (``ParallelTempering.swap_acceptance``), this returns a new ladder
+    with the same endpoints (``1.0`` and ``betas[-1]``) whose pairs should
+    reject roughly equally — iterate run -> tune -> run to convergence
+    (one round is usually enough in practice).
+
+    ``n_temps`` resizes the ladder (the barrier estimate interpolates to
+    any knot count); default keeps ``len(betas)``. The round-trip-optimal
+    count puts each pair's rejection near 50% — if the tuned ladder's
+    expected per-pair rejection ``Lambda_total / (n_temps - 1)`` is far
+    below that, the ladder is oversized for the target.
+
+    Pure host-side numpy (a between-runs utility, not scan code).
+    """
+    import numpy as np
+
+    betas = np.asarray(betas, np.float64)
+    acc = np.asarray(swap_acceptance, np.float64)
+    if betas.ndim != 1 or acc.shape != (betas.shape[0] - 1,):
+        raise ValueError(
+            f"swap_acceptance must have length len(betas)-1; got "
+            f"{acc.shape} for {betas.shape[0]} betas"
+        )
+    if n_temps is None:
+        n_temps = betas.shape[0]
+    if n_temps < 2:
+        raise ValueError(f"n_temps must be >= 2, got {n_temps}")
+    # Rejection rates, floored so a fully-mixing pair still contributes an
+    # epsilon of barrier (keeps Lambda strictly increasing => invertible).
+    rej = np.clip(1.0 - acc, 1e-6, 1.0)
+    lam = np.concatenate([[0.0], np.cumsum(rej)])  # barrier at each knot
+    # Invert the piecewise-linear Lambda at equal barrier increments:
+    # lam is increasing along the ladder index (np.interp's x), betas are
+    # the (decreasing) knot values to interpolate.
+    levels = np.linspace(0.0, lam[-1], n_temps)
+    new = np.interp(levels, lam, betas)
+    new[0], new[-1] = betas[0], betas[-1]
+    # Guard against duplicate knots from zero-width barrier segments.
+    for i in range(1, n_temps):
+        if new[i] >= new[i - 1]:
+            new[i] = new[i - 1] * 0.999999
+    return tuple(float(b) for b in new)
 
 
 def _shift_up(x):

@@ -165,3 +165,60 @@ def test_block_path_and_run_progress_smoke():
     sample2, stats = pt.run_progress(64, 16, stream=stream)
     assert sample2.shape == (8, 64, 2)
     assert len(stream.getvalue()) > 0
+
+
+def test_tune_betas_equal_rates_is_identity():
+    from mini_mcmc_tpu import tune_betas
+
+    betas = geometric_betas(6, 0.02)
+    tuned = tune_betas(betas, [0.4] * 5)
+    # equal per-pair rejection => equal barrier increments => knots stay
+    np.testing.assert_allclose(tuned, betas, rtol=1e-9)
+
+
+def test_tune_betas_moves_knots_toward_bottleneck():
+    from mini_mcmc_tpu import tune_betas
+
+    betas = (1.0, 0.75, 0.5, 0.25)
+    # pair 0 rejects everything (the bottleneck), the rest always accept:
+    # tuned interior knots must crowd into the (1.0, 0.75] segment
+    tuned = tune_betas(betas, [0.0, 1.0, 1.0])
+    assert tuned[0] == 1.0 and tuned[-1] == 0.25
+    assert all(b > 0.75 - 1e-6 for b in tuned[1:-1]), tuned
+    assert all(b2 < b1 for b1, b2 in zip(tuned, tuned[1:])), tuned
+
+
+def test_tune_betas_resize_and_validation():
+    from mini_mcmc_tpu import tune_betas
+
+    betas = geometric_betas(4, 0.05)
+    up = tune_betas(betas, [0.3, 0.3, 0.3], n_temps=7)
+    assert len(up) == 7 and up[0] == 1.0 and abs(up[-1] - 0.05) < 1e-12
+    assert all(b2 < b1 for b1, b2 in zip(up, up[1:]))
+    with pytest.raises(ValueError, match="length"):
+        tune_betas(betas, [0.3, 0.3])
+    with pytest.raises(ValueError, match="n_temps"):
+        tune_betas(betas, [0.3, 0.3, 0.3], n_temps=1)
+
+
+def test_tune_betas_end_to_end_equalizes_swap_rates():
+    # a deliberately bad ladder (huge gap at the cold end) -> one
+    # run/tune round must shrink the spread of per-pair swap rates
+    from mini_mcmc_tpu import tune_betas
+
+    target = _bimodal_target()
+    init = jnp.full((64, 1), -8.0)
+    bad = (1.0, 0.03, 0.02, 0.015, 0.012, 0.01)
+
+    def rates(betas):
+        pt = ParallelTempering(target, init, betas=betas).seed(9)
+        pt.run(1500, 500)
+        return np.asarray(pt.swap_acceptance)
+
+    r0 = rates(bad)
+    tuned = tune_betas(bad, r0)
+    r1 = rates(tuned)  # round 1: the bottleneck pair must open up
+    assert r1.min() > r0.min() + 0.1, (r0, r1)
+    r2 = rates(tune_betas(tuned, r1))  # round 2: spread collapses
+    assert r2.std() < 0.5 * r0.std(), (r0, r1, r2)
+    assert r2.min() > r0.min() + 0.1, (r0, r2)
