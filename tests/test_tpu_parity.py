@@ -125,6 +125,20 @@ for label, kw in [("pallas", {"use_pallas": "full", "steps_per_call": 16}),
         "z_mean": float(gs[:, :, 1].mean()),
     }
 
+# Fused parallel tempering (ops/pallas/tempering_full.py): cold-chain
+# exactness + swap-rate agreement vs the XLA lattice on the correlated
+# Gaussian (every rung samples a tempered version of the same target, so
+# the cold cube must match the plain-MH moments above).
+from mini_mcmc_tpu import ParallelTempering, geometric_betas
+
+pt_betas = geometric_betas(4, 0.1)
+for label, kw in [("pallas", {"use_pallas": "full", "steps_per_call": 16}),
+                  ("xla", {"steps_per_call": 16})]:
+    pt = ParallelTempering(mh_target, init_with_seed(2048, 2, seed=9),
+                           betas=pt_betas, proposal_std=2.0, **kw).seed(9)
+    out["pt_" + label] = summarize(pt.run(1024, 512))
+    out["pt_" + label]["swap"] = [float(x) for x in pt.swap_acceptance]
+
 # Determinism pins for the hardware-PRNG fused kernels (VERDICT r2
 # missing #2): same seed => bit-identical sample cube, plus a content
 # digest for the recorded-value tier (analog of nuts.rs:1138-1222).
@@ -153,6 +167,9 @@ det["nuts_same"], det["nuts_digest"] = twice(lambda: NUTS(
 det["gibbs_same"], det["gibbs_digest"] = twice(lambda: GibbsSampler(
     mix, jnp.zeros((1024, 2)), use_pallas="full",
     steps_per_call=8).seed(3))
+det["pt_same"], det["pt_digest"] = twice(lambda: ParallelTempering(
+    mh_target, init_with_seed(1024, 2, seed=3), betas=pt_betas,
+    proposal_std=2.0, use_pallas="full", steps_per_call=8).seed(3))
 out["determinism"] = det
 
 # Direct statistics of the in-kernel hardware-PRNG helpers (VERDICT r2
@@ -302,12 +319,29 @@ def test_tpu_gibbs_pallas_matches_xla_path(tpu_results):
     assert abs(p["x_var"] - x["x_var"]) < 0.6, (p, x)
 
 
+def test_tpu_pt_pallas_matches_xla_path(tpu_results):
+    # fused parallel tempering (hardware-PRNG ladder sweeps + swap sweeps
+    # on-chip) vs the XLA lattice: cold-chain moments, mixing, and the
+    # per-pair swap-acceptance EWMA must all agree
+    p, x = tpu_results["pt_pallas"], tpu_results["pt_xla"]
+    for r in (p, x):
+        for d in range(2):
+            assert 0.95 <= r["rhat"][d] <= 1.05, r
+            assert abs(r["mean"][d] - (0.0, 1.0)[d]) <= 0.15, r
+            assert abs(r["var"][d] - (4.0, 3.0)[d]) <= 0.6, r
+    for d in range(2):
+        assert abs(p["mean"][d] - x["mean"][d]) <= 0.1, (p, x)
+        assert 0.6 <= p["eff"][d] / x["eff"][d] <= 1.6, (p, x)
+    for sp, sx in zip(p["swap"], x["swap"]):
+        assert abs(sp - sx) <= 0.1, (p, x)
+
+
 def test_tpu_fused_kernels_same_seed_bitwise(tpu_results):
     # same seed => bit-identical sample cube for every hardware-PRNG fused
     # path (VERDICT r2 missing #2: a seeding regression must fail loudly,
     # not hide inside aggregate statistical bands)
     det = tpu_results["determinism"]
-    for k in ("hmc", "mh", "nuts", "gibbs"):
+    for k in ("hmc", "mh", "nuts", "gibbs", "pt"):
         assert det[f"{k}_same"], (k, det)
 
 
@@ -326,6 +360,7 @@ _RECORDED_DIGESTS: dict = {
         "mh": "9675c986b31b80c5",
         "nuts": "d3dfb4686b91d49f",
         "gibbs": "df9504442788a959",
+        "pt": "89407f6b1ec633d6",
     },
 }
 
@@ -335,7 +370,7 @@ def test_tpu_fused_kernels_recorded_digests(tpu_results):
     recorded = _RECORDED_DIGESTS.get(det["device_kind"])
     if recorded is None:
         pytest.skip(f"no recorded digests for {det['device_kind']!r}: "
-                    f"{ {k: det[k + '_digest'] for k in ('hmc', 'mh', 'nuts', 'gibbs')} }")
+                    f"{ {k: det[k + '_digest'] for k in ('hmc', 'mh', 'nuts', 'gibbs', 'pt')} }")
     for k, want in recorded.items():
         assert det[f"{k}_digest"] == want, (k, det)
 
