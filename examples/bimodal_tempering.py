@@ -16,6 +16,7 @@ from mini_mcmc_tpu import (
     MetropolisHastings,
     ParallelTempering,
     geometric_betas,
+    tune_betas,
 )
 from mini_mcmc_tpu.models import Target, isotropic_gaussian_proposal
 
@@ -58,6 +59,18 @@ def main():
     print("ladder (beta -> beta):  swap acceptance EWMA")
     for (b1, b2), r in zip(zip(betas, betas[1:]), rates):
         print(f"  {b1:6.3f} <-> {b2:6.3f}   {r:.2f}")
+
+    # Re-space the ladder at equal increments of the measured
+    # communication barrier (Syed et al. 2021) and run again: per-pair
+    # swap rates even out, which is what maximizes state round-trips
+    # between the hot and cold ends.
+    tuned = tune_betas(betas, rates)
+    pt2 = ParallelTempering(target, init, betas=tuned, proposal_std=1.0)
+    pt2.seed(0).run(2000, 500)
+    r2 = np.asarray(pt2.swap_acceptance)
+    print(f"tuned ladder:           swap rates "
+          f"{rates.min():.2f}-{rates.max():.2f} -> "
+          f"{r2.min():.2f}-{r2.max():.2f}")
 
     hist, edges = np.histogram(sample.ravel(), bins=25, range=(-10, 10))
     for h, lo in zip(hist, edges):
