@@ -352,6 +352,10 @@ class ParallelTempering(_KernelSampler):
         if betas is None:
             betas = geometric_betas(8)
         self.betas = tuple(float(b) for b in betas)
+        self._ctor = dict(proposal_std=proposal_std, n_inner=n_inner,
+                          steps_per_call=steps_per_call,
+                          use_pallas=use_pallas,
+                          pallas_interpret=pallas_interpret)
         n_cold = jnp.shape(jnp.asarray(initial_positions))[0]
         self._n_cold = int(n_cold)
         init_fn, step_fn = tempering_kernel(
@@ -387,6 +391,27 @@ class ParallelTempering(_KernelSampler):
         chains; the per-chain ``[T-1, C]`` surface is
         ``state.swap_accept``)."""
         return jnp.mean(self.state.swap_accept, axis=1)
+
+    def retuned(self, n_temps: Optional[int] = None, *,
+                seed=None) -> "ParallelTempering":
+        """New sampler continuing from the current cold positions on a
+        ladder re-spaced by :func:`~mini_mcmc_tpu.tune_betas` (equal
+        increments of the communication barrier measured by this run's
+        swap-acceptance EWMA) — the tempering analog of
+        :meth:`HMC.reconditioned`. Run a short leg first so the EWMA has
+        converged. Hot replicas restart from the cold state (they
+        re-equilibrate within a few sweeps). Without ``seed`` the new
+        sampler's key derives from this sampler's stream, so a fully
+        seeded workflow stays reproducible end-to-end."""
+        from .ops.tempering import tune_betas
+
+        tuned = tune_betas(self.betas, self.swap_acceptance,
+                           n_temps=n_temps)
+        new = ParallelTempering(self.target, self.positions, betas=tuned,
+                                seed=seed, **self._ctor)
+        if seed is None:
+            new._key = self._next_key()
+        return new
 
 
 class GibbsSampler(_KernelSampler):

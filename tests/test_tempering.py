@@ -222,3 +222,29 @@ def test_tune_betas_end_to_end_equalizes_swap_rates():
     r2 = rates(tune_betas(tuned, r1))  # round 2: spread collapses
     assert r2.std() < 0.5 * r0.std(), (r0, r1, r2)
     assert r2.min() > r0.min() + 0.1, (r0, r2)
+
+
+def test_retuned_continues_and_equalizes():
+    # the sampler-level run -> retuned() -> run workflow: continues from
+    # the cold ensemble, re-spaces the ladder, and is seed-reproducible
+    target = _bimodal_target()
+    init = jnp.full((32, 1), -8.0)
+    bad = (1.0, 0.03, 0.02, 0.015, 0.012, 0.01)
+
+    pt = ParallelTempering(target, init, betas=bad).seed(9)
+    pt.run(1200, 400)
+    r0 = np.asarray(pt.swap_acceptance)
+    pt2 = pt.retuned()
+    assert pt2.betas[0] == 1.0 and pt2.betas[-1] == bad[-1]
+    assert pt2.betas != bad
+    # continuation starts from the parent's cold ensemble
+    np.testing.assert_array_equal(
+        np.asarray(pt2.positions), np.asarray(pt.positions)
+    )
+    pt2.run(1200, 400)
+    r1 = np.asarray(pt2.swap_acceptance)
+    assert r1.min() > r0.min() + 0.1, (r0, r1)
+
+    # resizing + deterministic derivation from the parent stream
+    pt3 = pt.retuned(n_temps=4)
+    assert len(pt3.betas) == 4
