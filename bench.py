@@ -113,6 +113,25 @@ def _gate(name, ok, info):
         raise AssertionError(f"quality gate FAILED [{name}]: {info}")
 
 
+def _timed_best(run_once, reps=2):
+    """Time ``run_once`` (a steady-state, already-compiled dispatch)
+    ``reps`` times and keep the fastest rep's ``(sample, elapsed)``. The
+    tunneled chip occasionally time-slices with a neighboring process: a
+    sub-second timed region can read several-x slow (observed 5x on an
+    identical program minutes apart). Min-of-reps restores the
+    steady-state number; any rep's sample is statistically valid (the
+    chain just advanced between reps), so quality gates run on the kept
+    one."""
+    best_s, best_e = None, float("inf")
+    for _ in range(reps):
+        t0 = time.monotonic()
+        s = run_once()
+        e = time.monotonic() - t0
+        if e < best_e:
+            best_s, best_e = s, e
+    return best_s, best_e
+
+
 def bench_hmc_flagship() -> dict:
     from mini_mcmc_tpu.ops.pallas import pallas_available
 
@@ -133,9 +152,8 @@ def bench_hmc_flagship() -> dict:
     _sync(hmc.run(N_COLLECT, 0, time_major=True))
 
     # Timed region: steady-state sampling only, one compiled dispatch.
-    t0 = time.monotonic()
-    sample = _sync(hmc.run(N_COLLECT, 0, time_major=True))
-    elapsed = time.monotonic() - t0
+    sample, elapsed = _timed_best(
+        lambda: _sync(hmc.run(N_COLLECT, 0, time_major=True)))
 
     rhat, ess = split_rhat_mean_ess(sample, time_major=True)
     ess_mean = float(jnp.mean(ess))
@@ -274,9 +292,8 @@ def bench_nuts() -> dict:
     # "warmup". The steady-state gate below is the per-run delta of the
     # second run, which is the number a kernel regression would move.
     divergences_first_run = int(jnp.sum(nuts.divergences))
-    t0 = time.monotonic()
-    sample = _sync(nuts.run(NUTS_COLLECT, NUTS_DISCARD))
-    elapsed = time.monotonic() - t0
+    sample, elapsed = _timed_best(
+        lambda: _sync(nuts.run(NUTS_COLLECT, NUTS_DISCARD)))
     divergences_steady = int(jnp.sum(nuts.last_run_divergences))
 
     rhat, ess = split_rhat_mean_ess(sample)
@@ -328,9 +345,8 @@ def bench_nuts() -> dict:
     # 4.5e8 ESS/s @131k (3.6e8 @65k).
     tuned = nuts.reconditioned("dense", seed=11)
     _sync(tuned.run(NUTS_COLLECT, NUTS_DISCARD))  # adapt + compile
-    t0 = time.monotonic()
-    sample = _sync(tuned.run(NUTS_COLLECT, NUTS_DISCARD))
-    elapsed = time.monotonic() - t0
+    sample, elapsed = _timed_best(
+        lambda: _sync(tuned.run(NUTS_COLLECT, NUTS_DISCARD)))
     rhat, ess = split_rhat_mean_ess(sample)
     ess_mean = float(jnp.mean(ess))
     ess_min = float(jnp.min(ess))
@@ -376,9 +392,8 @@ def bench_mh_gauss2d() -> dict:
         init_with_seed(c, 2, seed=8), **kw,
     ).seed(8)
     _sync(mh.run(n, 0, time_major=True))  # burn + compile
-    t0 = time.monotonic()
-    sample = _sync(mh.run(n, 0, time_major=True))
-    elapsed = time.monotonic() - t0
+    sample, elapsed = _timed_best(
+        lambda: _sync(mh.run(n, 0, time_major=True)))
     rhat, ess = split_rhat_mean_ess(sample, time_major=True)
     ess_mean = float(jnp.mean(ess))
     rhat_mean = float(jnp.mean(rhat))
@@ -420,9 +435,8 @@ def bench_gibbs() -> dict:
         jnp.zeros((c, 2)), **kw,
     ).seed(42)
     _sync(g.run(n, 0, time_major=True))  # burn + compile
-    t0 = time.monotonic()
-    sample = _sync(g.run(n, 0, time_major=True))
-    elapsed = time.monotonic() - t0
+    sample, elapsed = _timed_best(
+        lambda: _sync(g.run(n, 0, time_major=True)))
 
     x = sample[:, :, 0]
     x_mean, x_var = float(jnp.mean(x)), float(jnp.var(x))
@@ -477,9 +491,7 @@ def bench_extras() -> dict:
         jnp.zeros((65536, 1), jnp.int32), **mh_kw,
     ).seed(42)
     _sync(mh.run(200, 100))
-    t0 = time.monotonic()
-    sample = _sync(mh.run(200, 100))
-    elapsed = time.monotonic() - t0
+    sample, elapsed = _timed_best(lambda: _sync(mh.run(200, 100)))
     ks = np.asarray(sample).ravel()
     max_err = max(
         abs(float(np.mean(ks == k)) - scipy_poisson.pmf(k, 4.0))
@@ -500,9 +512,7 @@ def bench_extras() -> dict:
     # d = 10,000 HMC (hmc.rs:882-916): 6 chains, 100 collect + 100 discard.
     hmc = HMC(standard_normal(), init_det(6, 10_000), 0.1, 10).seed(0)
     _sync(hmc.run(100, 100))
-    t0 = time.monotonic()
-    sample = _sync(hmc.run(100, 100))
-    elapsed = time.monotonic() - t0
+    sample, elapsed = _timed_best(lambda: _sync(hmc.run(100, 100)))
     m = float(jnp.mean(sample))
     v = float(jnp.var(sample))
     _gate("hmc10k mean", abs(m) < 0.05, m)
@@ -545,9 +555,8 @@ def bench_beyond() -> dict:
         steps_per_call=16,
     ).seed(3)
     _sync(es.run(n, 0, time_major=True))  # burn + compile
-    t0 = time.monotonic()
-    sample = _sync(es.run(n, 0, time_major=True))
-    elapsed = time.monotonic() - t0
+    sample, elapsed = _timed_best(
+        lambda: _sync(es.run(n, 0, time_major=True)))
     rhat, ess = split_rhat_mean_ess(sample, time_major=True)
     ess_mean = float(jnp.mean(ess))
     rhat_mean = float(jnp.mean(rhat))
@@ -601,9 +610,8 @@ def bench_beyond() -> dict:
         proposal_std=1.0, steps_per_call=16,
     ).seed(5)
     _sync(pt.run(nt, 0, time_major=True))  # burn + compile
-    t0 = time.monotonic()
-    sample = _sync(pt.run(nt, 0, time_major=True))
-    elapsed = time.monotonic() - t0
+    sample, elapsed = _timed_best(
+        lambda: _sync(pt.run(nt, 0, time_major=True)))
     xs = np.asarray(sample).ravel()
     frac_plus = float(np.mean(xs > 0))
     plus = xs[xs > 0]

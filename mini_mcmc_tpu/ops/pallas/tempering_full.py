@@ -5,18 +5,24 @@ plain MH before it (``mh_full.py``) — at large chain counts its per-step
 cost is dominated by fixed overheads (scan glue, HBM round-trips of the
 replica batch between fused XLA kernels) rather than the VPU work of the
 tempered update itself. This kernel runs K complete PT steps on-chip per
-invocation:
+invocation, carrying the whole replica batch in VMEM:
 
-- the temperature ladder is STATIC (T is small), so rungs are
-  Python-unrolled: each rung's ``[D, 8, C/8]`` sublane-packed block gets a
-  hardware-PRNG Gaussian proposal scaled by ``sigma / sqrt(beta_t)``, a
-  ``logp_dc`` target evaluation, and a tempered accept — T lockstep MH
-  updates sharing one instruction stream;
-- the alternating-parity swap sweep is unrolled over pairs with the parity
-  at in-kernel step k derived from the carried scalar
-  (``(parity0 + k) % 2``); swaps and the per-(pair, chain) acceptance EWMA
-  use float-mask arithmetic (Mosaic's layout inference rejects some
-  carried selects — see ``nuts_full.py``'s notes);
+- the temperature ladder stays a BATCHED array axis inside the kernel
+  (``[D, T, 8, C/8]`` — rungs ride a leading dim of every op, exactly like
+  the XLA path's ``[T, D, C]``), NOT a Python-unrolled list: one
+  ``logp_dc`` evaluation / one hardware-PRNG draw / one accept covers all
+  T rungs, so per-op Mosaic overhead amortizes over ``T*C`` lanes (the
+  unrolled variant measured 3x SLOWER than XLA at T=8, D=1 — T small ops
+  per stage lose to one T-times-larger op);
+- per-rung constants (``beta``, the ``sigma/sqrt(beta)`` proposal scale,
+  the alternating-parity pair mask) are compile-time ``[T, 1, 1]`` arrays
+  broadcast against the batch, with the pair parity at in-kernel step k
+  derived from the carried scalar (``(parity0 + k) % 2``);
+- the swap sweep is two ladder-axis neighbor shifts + float-mask selects
+  (accepted pairs are disjoint), the same shift-not-gather design as the
+  XLA path; swaps and the per-(pair, chain) acceptance EWMA use float-mask
+  arithmetic (Mosaic's layout inference rejects some carried selects — see
+  ``nuts_full.py``'s notes);
 - only the COLD rung's position is written to the ``[K, D, 8, C/8]``
   history — the sample cube semantics are identical to K separate steps
   (hot replicas are internal state), and the hot rungs never touch HBM
@@ -66,7 +72,8 @@ def make_pallas_pt_multistep(
 
     Args:
         logp_dc: chains-on-lanes target log density ``[D, ...] -> [...]``
-            (jnp ops only, Mosaic-lowerable).
+            (jnp ops only, Mosaic-lowerable; the trailing dims here are
+            the ``[T, 8, C/8]`` replica batch).
         betas: the static temperature ladder (validated by the caller,
             ``ops/tempering.py``).
         sigma: static cold-chain proposal scale — a Python float or a
@@ -85,7 +92,8 @@ def make_pallas_pt_multistep(
     t_count = len(betas)
     alpha = _SWAP_EWMA_ALPHA
 
-    def kernel(sp_ref, pos_ref, lp_ref, sa_ref,
+    def kernel(sp_ref, scale_ref, beta_ref, dbeta_ref, par_ref,
+               pos_ref, lp_ref, sa_ref,
                pos_out, lp_out, sa_out, *hist_outs):
         pltpu.prng_seed(
             sp_ref[0] + pl.program_id(0) * jnp.int32(0x27D4EB2F),
@@ -93,67 +101,60 @@ def make_pallas_pt_multistep(
         )
         parity0 = sp_ref[2]
 
-        d = pos_ref.shape[1]
-        sig_rows = jnp.asarray(sigma, jnp.float32).reshape(-1)
-        if sig_rows.shape[0] not in (1, d):
-            raise ValueError(
-                f"sigma must be scalar or length-D, got {sig_rows.shape}"
-            )
-        sig_col = jnp.broadcast_to(sig_rows, (d,))[:, None, None]
+        # Per-(dim, rung) proposal scale sigma_d / sqrt(beta_t), per-rung
+        # temperatures, and pair parities arrive pre-broadcast to the
+        # replica-batch tile shapes as ordinary inputs (Pallas forbids
+        # captured array constants); loaded once, carried in VMEM.
+        scale = scale_ref[...]  # [D, T, 8, bc8]
+        beta_b = beta_ref[...]  # [T, 8, bc8]
+        d_beta = dbeta_ref[...]  # [T-1, 8, bc8]
+        pair_par = par_ref[...]  # [T-1, 8, bc8] (t % 2 per pair)
 
         def one_step(k, carry):
-            pos = list(carry[:t_count])  # T x [D, 8, bc8]
-            lp = list(carry[t_count:2 * t_count])  # T x [8, bc8]
-            sa = list(carry[2 * t_count:])  # (T-1) x [8, bc8]
+            pos, lp, sa = carry  # [D,T,8,bc8], [T,8,bc8], [T-1,8,bc8]
 
-            # Within-temperature sweeps, rungs unrolled (one instruction
-            # stream, T lockstep MH updates).
+            # Within-temperature sweeps: ONE lockstep MH update over the
+            # whole [T, 8, bc8] replica batch per sweep.
             for _ in range(n_inner):
-                for t in range(t_count):
-                    scale = (1.0 / (betas[t] ** 0.5)) * sig_col
-                    prop = pos[t] + scale * _rng.normals(pos[t].shape)
-                    lp_p = logp_dc(prop)
-                    u = _rng.uniform(lp_p.shape)
-                    acc = (betas[t] * (lp_p - lp[t])) > jnp.log(u)
-                    accf = jnp.where(acc, 1.0, 0.0)
-                    pos[t] = pos[t] + accf[None] * (prop - pos[t])
-                    lp[t] = lp[t] + accf * (lp_p - lp[t])
+                prop = pos + scale * _rng.normals(pos.shape)
+                lp_p = logp_dc(prop)  # [T, 8, bc8]
+                u = _rng.uniform(lp_p.shape)
+                acc = (beta_b * (lp_p - lp)) > jnp.log(u)
+                accf = jnp.where(acc, 1.0, 0.0)
+                pos = pos + accf[None] * (prop - pos)
+                lp = lp + accf * (lp_p - lp)
 
-            # Alternating-parity swap sweep, pairs unrolled. Active pairs
-            # are disjoint, so sequential masked application == one
-            # simultaneous permutation.
-            k_par = (parity0 + k) % 2
-            for t in range(t_count - 1):
-                on = jnp.where((t % 2) == k_par, 1.0, 0.0)  # traced scalar
-                d_beta = betas[t] - betas[t + 1]
-                u = _rng.uniform(lp[t].shape)
-                sw = jnp.where(
-                    (d_beta * (lp[t + 1] - lp[t])) > jnp.log(u), 1.0, 0.0
-                ) * on  # [8, bc8] float mask
-                hi, lo = pos[t + 1], pos[t]
-                pos[t] = lo + sw[None] * (hi - lo)
-                pos[t + 1] = hi + sw[None] * (lo - hi)
-                lph, lpl = lp[t + 1], lp[t]
-                lp[t] = lpl + sw * (lph - lpl)
-                lp[t + 1] = lph + sw * (lpl - lph)
-                # EWMA only on active pairs: sa += on * alpha * (sw - sa)
-                sa[t] = sa[t] + on * alpha * (sw - sa[t])
+            # Alternating-parity swap sweep: accepted pairs are disjoint,
+            # so every swap applies at once as two ladder-axis neighbor
+            # shifts + float-mask selects (no gather).
+            k_par = ((parity0 + k) % 2).astype(jnp.float32)
+            on = jnp.where(pair_par == k_par, 1.0, 0.0)  # [T-1, 1, 1]
+            u = _rng.uniform(sa.shape)
+            sw = jnp.where(
+                (d_beta * (lp[1:] - lp[:-1])) > jnp.log(u), 1.0, 0.0
+            ) * on  # [T-1, 8, bc8] float mask
+            zero = jnp.zeros_like(sw[:1])
+            lower = jnp.concatenate([sw, zero], 0)  # t takes from t+1
+            upper = jnp.concatenate([zero, sw], 0)  # t takes from t-1
+            shift_up = jnp.concatenate([lp[1:], lp[-1:]], 0)
+            shift_dn = jnp.concatenate([lp[:1], lp[:-1]], 0)
+            lp = (lp + lower * (shift_up - lp)
+                  + upper * (shift_dn - lp))
+            pshift_up = jnp.concatenate([pos[:, 1:], pos[:, -1:]], 1)
+            pshift_dn = jnp.concatenate([pos[:, :1], pos[:, :-1]], 1)
+            pos = (pos + lower[None] * (pshift_up - pos)
+                   + upper[None] * (pshift_dn - pos))
+            # EWMA only on active pairs: sa += on * alpha * (sw - sa)
+            sa = sa + on * alpha * (sw - sa)
 
             if with_history:
-                hist_outs[0][pl.ds(k, 1)] = pos[0][None]
-            return tuple(pos) + tuple(lp) + tuple(sa)
+                hist_outs[0][pl.ds(k, 1)] = pos[:, 0][None]
+            return (pos, lp, sa)
 
-        carry0 = (
-            tuple(pos_ref[t] for t in range(t_count))
-            + tuple(lp_ref[t] for t in range(t_count))
-            + tuple(sa_ref[t] for t in range(t_count - 1))
+        out = lax.fori_loop(
+            0, k_steps, one_step, (pos_ref[...], lp_ref[...], sa_ref[...])
         )
-        out = lax.fori_loop(0, k_steps, one_step, carry0)
-        for t in range(t_count):
-            pos_out[t] = out[t]
-            lp_out[t] = out[t_count + t]
-        for t in range(t_count - 1):
-            sa_out[t] = out[2 * t_count + t]
+        pos_out[...], lp_out[...], sa_out[...] = out
 
     @functools.partial(jax.jit, static_argnames=())
     def step(pos_tdc, lp_tc, sa_tc, parity, seed):
@@ -171,7 +172,10 @@ def make_pallas_pt_multistep(
         bc8 = bc // 8
         c8 = c // 8
 
-        pos_p = pos_tdc.reshape(t, d, 8, c8)
+        # [T, D, C] -> [D, T, 8, C/8]: rungs ride a leading batch dim so
+        # in-kernel ops cover the whole ladder at once (one transpose per
+        # K-step block, amortized).
+        pos_p = pos_tdc.transpose(1, 0, 2).reshape(d, t, 8, c8)
         lp_p = lp_tc.reshape(t, 8, c8)
         sa_p = sa_tc.reshape(t - 1, 8, c8)
         sp_arr = jnp.concatenate([
@@ -179,9 +183,38 @@ def make_pallas_pt_multistep(
             jnp.asarray(parity, jnp.int32).reshape(1),
         ])
 
-        pos_spec = pl.BlockSpec((t, d, 8, bc8), lambda i: (0, 0, 0, i))
+        # The static per-rung constants, pre-broadcast to one [.., 8, bc8]
+        # block each (identical across grid blocks: constant index maps).
+        sig_rows = jnp.asarray(sigma, jnp.float32).reshape(-1)
+        if sig_rows.shape[0] not in (1, d):
+            raise ValueError(
+                f"sigma must be scalar or length-D, got {sig_rows.shape}"
+            )
+        inv_sqrt_b = jnp.asarray(
+            [1.0 / (b ** 0.5) for b in betas], jnp.float32
+        )
+        scale_in = jnp.broadcast_to(
+            (jnp.broadcast_to(sig_rows, (d,))[:, None]
+             * inv_sqrt_b)[:, :, None, None],
+            (d, t, 8, bc8),
+        )
+        beta_col = jnp.asarray(betas, jnp.float32)[:, None, None]
+        beta_in = jnp.broadcast_to(beta_col, (t, 8, bc8))
+        dbeta_in = jnp.broadcast_to(
+            beta_col[:-1] - beta_col[1:], (t - 1, 8, bc8)
+        )
+        par_in = jnp.broadcast_to(
+            jnp.asarray([float(i % 2) for i in range(t - 1)],
+                        jnp.float32)[:, None, None],
+            (t - 1, 8, bc8),
+        )
+
+        pos_spec = pl.BlockSpec((d, t, 8, bc8), lambda i: (0, 0, 0, i))
         lp_spec = pl.BlockSpec((t, 8, bc8), lambda i: (0, 0, i))
         sa_spec = pl.BlockSpec((t - 1, 8, bc8), lambda i: (0, 0, i))
+        scale_spec = pl.BlockSpec((d, t, 8, bc8), lambda i: (0, 0, 0, 0))
+        beta_spec = pl.BlockSpec((t, 8, bc8), lambda i: (0, 0, 0))
+        pair_spec = pl.BlockSpec((t - 1, 8, bc8), lambda i: (0, 0, 0))
         hist_spec = pl.BlockSpec((k_steps, d, 8, bc8),
                                  lambda i: (0, 0, 0, i))
         if interpret:
@@ -192,7 +225,7 @@ def make_pallas_pt_multistep(
 
         out_specs = [pos_spec, lp_spec, sa_spec]
         out_shape = [
-            jax.ShapeDtypeStruct((t, d, 8, c8), pos_tdc.dtype),
+            jax.ShapeDtypeStruct((d, t, 8, c8), pos_tdc.dtype),
             jax.ShapeDtypeStruct((t, 8, c8), lp_tc.dtype),
             jax.ShapeDtypeStruct((t - 1, 8, c8), sa_tc.dtype),
         ]
@@ -204,14 +237,15 @@ def make_pallas_pt_multistep(
         outs = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[sp_spec, pos_spec, lp_spec, sa_spec],
+            in_specs=[sp_spec, scale_spec, beta_spec, pair_spec,
+                      pair_spec, pos_spec, lp_spec, sa_spec],
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             interpret=interpret,
-        )(sp_arr, pos_p, lp_p, sa_p)
+        )(sp_arr, scale_in, beta_in, dbeta_in, par_in, pos_p, lp_p, sa_p)
 
         flat = (
-            outs[0].reshape(t, d, c),
+            outs[0].reshape(d, t, c).transpose(1, 0, 2),
             outs[1].reshape(t, c),
             outs[2].reshape(t - 1, c),
         )
