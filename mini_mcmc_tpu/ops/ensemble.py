@@ -43,9 +43,10 @@ def ensemble_kernel(target: Target, *, walkers_per_ensemble: int,
     """Build ``(init_fn, step_fn)`` for the batched stretch move.
 
     ``init_fn(positions [C, D]) -> EnsembleState`` (``C`` must be a
-    multiple of ``walkers_per_ensemble``, which must be even and >= 4; use
-    >= 2*D walkers per ensemble for healthy mixing, the emcee rule of
-    thumb). One ``step_fn`` call is a full sweep: both halves of every
+    multiple of ``walkers_per_ensemble``, which must be even, >= 4, and
+    >= D+2 — fewer walkers confine the stretch move to a proper affine
+    subspace, checked at init; use >= 2*D per ensemble for healthy
+    mixing, the emcee rule of thumb). One ``step_fn`` call is a full sweep: both halves of every
     ensemble update once. Partner draws never cross ensemble boundaries,
     so distinct ensembles are independent chains-of-ensembles (shard the
     chain axis at ensemble granularity).
@@ -70,6 +71,19 @@ def ensemble_kernel(target: Target, *, walkers_per_ensemble: int,
             raise ValueError(
                 f"n_chains={c} must be a multiple of "
                 f"walkers_per_ensemble={w}"
+            )
+        d = positions.shape[1]
+        if w < d + 2:
+            # Stretch proposals stay inside the ensemble's affine hull,
+            # and the hull never grows — w walkers span at most a
+            # (w-1)-dim slice, so a small ensemble on a high-D target is
+            # silently non-ergodic (healthy-looking within-slice
+            # diagnostics, wrong posterior). Hard error, not a warning.
+            raise ValueError(
+                f"walkers_per_ensemble={w} cannot ergodically sample a "
+                f"{d}-D target: the stretch move is confined to the "
+                f"ensemble's affine hull (dim <= {w - 1}); need at least "
+                f"D+2 = {d + 2} walkers per ensemble, ideally >= 2*D"
             )
         return EnsembleState(
             positions=positions, logp=target.batch_logp(positions)

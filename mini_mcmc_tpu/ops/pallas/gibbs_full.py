@@ -41,6 +41,7 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from . import rng as _rng
+from .blocks import fit_grid_block
 
 
 def make_pallas_gibbs_multistep(
@@ -101,14 +102,7 @@ def make_pallas_gibbs_multistep(
         if d != n_dim:
             raise ValueError(f"state dim {d} != kernel n_dim {n_dim}")
         dtype = pos_cd.dtype
-        bc = min(block_c, c)
-        if c % 1024 or c % bc or bc % 1024:
-            raise ValueError(
-                f"the fused kernel needs n_chains to be a multiple of 1024 "
-                f"(8 sublanes x 128 lanes) and of the grid block "
-                f"block_c={block_c} (itself a 1024-multiple); got "
-                f"n_chains={c}"
-            )
+        bc = fit_grid_block(c, block_c)
         grid = (c // bc,)
         shape3 = (d, 8, c // 8)
         bc8 = bc // 8

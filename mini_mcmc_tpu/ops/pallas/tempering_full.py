@@ -18,11 +18,11 @@ invocation, carrying the whole replica batch in VMEM:
   the alternating-parity pair mask) are compile-time ``[T, 1, 1]`` arrays
   broadcast against the batch, with the pair parity at in-kernel step k
   derived from the carried scalar (``(parity0 + k) % 2``);
-- the swap sweep is two ladder-axis neighbor shifts + float-mask selects
+- the swap sweep is two ladder-axis neighbor shifts + boolean selects
   (accepted pairs are disjoint), the same shift-not-gather design as the
-  XLA path; swaps and the per-(pair, chain) acceptance EWMA use float-mask
-  arithmetic (Mosaic's layout inference rejects some carried selects — see
-  ``nuts_full.py``'s notes);
+  XLA path; accepts and swaps use true ``jnp.where`` selects so a
+  ``-inf`` log density (bounded-support target) propagates exactly like
+  the XLA path instead of poisoning the carry with NaN;
 - only the COLD rung's position is written to the ``[K, D, 8, C/8]``
   history — the sample cube semantics are identical to K separate steps
   (hot replicas are internal state), and the hot rungs never touch HBM
@@ -52,6 +52,7 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 from . import rng as _rng
+from .blocks import fit_grid_block
 
 #: EWMA weight — must match ops/tempering.py's XLA path.
 from ..tempering import _SWAP_EWMA_ALPHA
@@ -115,37 +116,42 @@ def make_pallas_pt_multistep(
 
             # Within-temperature sweeps: ONE lockstep MH update over the
             # whole [T, 8, bc8] replica batch per sweep.
+            # True selects, not float-mask arithmetic: `lp + accf*(lp_p -
+            # lp)` turns a rejected -inf proposal (bounded-support target)
+            # into NaN and silently freezes the chain; jnp.where keeps the
+            # XLA path's -inf semantics (mh_full.py uses the same carried
+            # selects, so Mosaic lowers them fine).
             for _ in range(n_inner):
                 prop = pos + scale * _rng.normals(pos.shape)
                 lp_p = logp_dc(prop)  # [T, 8, bc8]
                 u = _rng.uniform(lp_p.shape)
                 acc = (beta_b * (lp_p - lp)) > jnp.log(u)
-                accf = jnp.where(acc, 1.0, 0.0)
-                pos = pos + accf[None] * (prop - pos)
-                lp = lp + accf * (lp_p - lp)
+                pos = jnp.where(acc[None], prop, pos)
+                lp = jnp.where(acc, lp_p, lp)
 
             # Alternating-parity swap sweep: accepted pairs are disjoint,
             # so every swap applies at once as two ladder-axis neighbor
-            # shifts + float-mask selects (no gather).
+            # shifts + boolean selects (no gather).
             k_par = ((parity0 + k) % 2).astype(jnp.float32)
-            on = jnp.where(pair_par == k_par, 1.0, 0.0)  # [T-1, 1, 1]
+            on = pair_par == k_par  # [T-1, 8, bc8] bool
             u = _rng.uniform(sa.shape)
-            sw = jnp.where(
-                (d_beta * (lp[1:] - lp[:-1])) > jnp.log(u), 1.0, 0.0
-            ) * on  # [T-1, 8, bc8] float mask
-            zero = jnp.zeros_like(sw[:1])
-            lower = jnp.concatenate([sw, zero], 0)  # t takes from t+1
-            upper = jnp.concatenate([zero, sw], 0)  # t takes from t-1
+            sw = on & ((d_beta * (lp[1:] - lp[:-1])) > jnp.log(u))
+            off_row = jnp.zeros_like(sw[:1])
+            lower = jnp.concatenate([sw, off_row], 0)  # t takes from t+1
+            upper = jnp.concatenate([off_row, sw], 0)  # t takes from t-1
             shift_up = jnp.concatenate([lp[1:], lp[-1:]], 0)
             shift_dn = jnp.concatenate([lp[:1], lp[:-1]], 0)
-            lp = (lp + lower * (shift_up - lp)
-                  + upper * (shift_dn - lp))
+            lp = jnp.where(lower, shift_up,
+                           jnp.where(upper, shift_dn, lp))
             pshift_up = jnp.concatenate([pos[:, 1:], pos[:, -1:]], 1)
             pshift_dn = jnp.concatenate([pos[:, :1], pos[:, :-1]], 1)
-            pos = (pos + lower[None] * (pshift_up - pos)
-                   + upper[None] * (pshift_dn - pos))
-            # EWMA only on active pairs: sa += on * alpha * (sw - sa)
-            sa = sa + on * alpha * (sw - sa)
+            pos = jnp.where(lower[None], pshift_up,
+                            jnp.where(upper[None], pshift_dn, pos))
+            # EWMA only on active pairs: sa += on * alpha * (sw - sa);
+            # sa/sw are finite 0/1 quantities, so arithmetic is safe here.
+            swf = jnp.where(sw, 1.0, 0.0)
+            onf = jnp.where(on, 1.0, 0.0)
+            sa = sa + onf * alpha * (swf - sa)
 
             if with_history:
                 hist_outs[0][pl.ds(k, 1)] = pos[:, 0][None]
@@ -160,14 +166,7 @@ def make_pallas_pt_multistep(
     def step(pos_tdc, lp_tc, sa_tc, parity, seed):
         t, d, c = pos_tdc.shape
         assert t == t_count
-        bc = min(block_c, c)
-        if c % 1024 or c % bc or bc % 1024:
-            raise ValueError(
-                f"the fused PT kernel needs n_chains to be a multiple of "
-                f"1024 (8 sublanes x 128 lanes) and of the grid block "
-                f"block_c={block_c} (itself a 1024-multiple); got "
-                f"n_chains={c}"
-            )
+        bc = fit_grid_block(c, block_c, what="fused PT kernel")
         grid = (c // bc,)
         bc8 = bc // 8
         c8 = c // 8

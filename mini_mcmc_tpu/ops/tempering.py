@@ -59,7 +59,6 @@ import jax
 import jax.numpy as jnp
 
 from ..models.base import Target
-from ..runner import make_scan_block_fn
 
 #: EWMA weight for the streaming swap-acceptance diagnostic (matches the
 #: spirit of the trackers' ALPHA=0.01 acceptance EWMA, stats.py).
@@ -345,7 +344,22 @@ def tempering_kernel(target: Target, betas: Sequence[float], *,
             block_fn.rows_mapped = True
             step_fn.block_fn = block_fn
         else:
-            step_fn.block_fn = make_scan_block_fn(step_fn, steps_per_call)
+            # PT-specific scan block: record ONLY the cold rung (already
+            # in the user [C, D] layout) inside the scan body. The generic
+            # fallback (runner.make_scan_block_fn) would stack the full
+            # [K, T, D, C] replica state and let the sampler slice rung 0
+            # afterwards — a T-times transient HBM spike per block.
+            def block_fn(state: PTState, key: jax.Array):
+                def body(carry, sub):
+                    carry = step_fn(carry, sub)
+                    return carry, carry.positions[0].T
+
+                return jax.lax.scan(
+                    body, state, jax.random.split(key, steps_per_call)
+                )
+
+            block_fn.rows_mapped = True
+            step_fn.block_fn = block_fn
         step_fn.block_size = steps_per_call
 
     return init_fn, step_fn

@@ -153,3 +153,17 @@ def test_run_progress_smoke():
     sample, stats = es.run_progress(128, 32, stream=stream)
     assert sample.shape == (8, 128, 2)
     assert "p(accept)" in stream.getvalue() or len(stream.getvalue()) > 0
+
+
+def test_small_ensemble_on_high_dim_target_rejected():
+    # stretch proposals are confined to the ensemble's affine hull, which
+    # w walkers cap at dim w-1 and which never grows: w < D+2 would sample
+    # a proper subspace with healthy-looking diagnostics. Must be a hard
+    # init-time error, not a silent wrong posterior.
+    target = _std_normal(10)
+    with pytest.raises(ValueError, match="affine hull"):
+        EnsembleSampler(target, init_with_seed(8, 10, seed=2),
+                        walkers_per_ensemble=8)
+    # D+2 exactly is allowed
+    EnsembleSampler(target, init_with_seed(12, 10, seed=2),
+                    walkers_per_ensemble=12)

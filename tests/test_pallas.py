@@ -345,3 +345,19 @@ def test_pt_full_kernel_chain_count_validation():
     ).seed(0)
     with pytest.raises(ValueError, match="multiple of"):
         pt.run(2, 0)
+
+
+def test_fit_grid_block_picks_largest_legal_divisor():
+    # chain counts that are 1024-multiples but not block_c-divisible must
+    # get the largest legal block, not a ValueError (e.g. 9216 = 9*1024)
+    from mini_mcmc_tpu.ops.pallas.blocks import fit_grid_block
+
+    assert fit_grid_block(65536, 8192) == 8192
+    assert fit_grid_block(4096, 8192) == 4096
+    assert fit_grid_block(9216, 8192) == 3072
+    assert fit_grid_block(5 * 1024, 8192) == 5 * 1024
+    assert fit_grid_block(7 * 1024, 4096) == 1024  # 7 prime, > 4 blocks
+    import pytest
+
+    with pytest.raises(ValueError, match="multiple of 1024"):
+        fit_grid_block(96, 8192)

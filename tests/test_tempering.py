@@ -248,3 +248,36 @@ def test_retuned_continues_and_equalizes():
     # resizing + deterministic derivation from the parent stream
     pt3 = pt.retuned(n_temps=4)
     assert len(pt3.betas) == 4
+
+
+def test_block_fn_contract_cold_rows_only():
+    # the XLA K-step block must equal K applications of step_fn on the
+    # block key's K sub-keys, recording the COLD rung in the user [C, D]
+    # layout inside the scan (rows_mapped=True) — never the full
+    # [K, T, D, C] replica stack (a T-times transient HBM spike).
+    import jax
+
+    from mini_mcmc_tpu.models.base import Target
+    from mini_mcmc_tpu.ops.tempering import tempering_kernel
+
+    target = Target(logp=lambda x: -0.5 * jnp.sum(x * x))
+    init_fn, step_fn = tempering_kernel(
+        target, (1.0, 0.5, 0.25), proposal_std=1.0, steps_per_call=4
+    )
+    assert getattr(step_fn.block_fn, "rows_mapped", False)
+    state = init_fn(init_with_seed(6, 2, seed=1))
+    key = jax.random.PRNGKey(3)
+    out_state, rows = step_fn.block_fn(state, key)
+    assert rows.shape == (4, 6, 2)
+
+    s = state
+    expected = []
+    for sub in jax.random.split(key, 4):
+        s = step_fn(s, sub)
+        expected.append(np.asarray(s.positions[0].T))
+    # allclose, not equal: XLA fuses the proposal arithmetic differently
+    # inside lax.scan than in eager per-step execution (~1e-7 fma noise)
+    np.testing.assert_allclose(np.asarray(rows), np.stack(expected),
+                               rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_state.positions),
+                               np.asarray(s.positions), rtol=0, atol=1e-5)

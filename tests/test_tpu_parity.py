@@ -139,6 +139,31 @@ for label, kw in [("pallas", {"use_pallas": "full", "steps_per_call": 16}),
     out["pt_" + label] = summarize(pt.run(1024, 512))
     out["pt_" + label]["swap"] = [float(x) for x in pt.swap_acceptance]
 
+# Bounded support through the fused kernel: a half-line truncated Gaussian
+# whose logp_dc returns -inf outside x > 0. The kernel's accept/swap
+# selects must keep -inf as -inf (float-mask arithmetic would produce
+# lp + 0 * -inf = NaN and silently freeze every chain that ever proposes
+# out of support).
+from mini_mcmc_tpu.models import Target as _Target
+
+half = _Target(
+    logp=lambda x: jnp.where(x[0] > 0, -0.5 * x[0] * x[0], -jnp.inf),
+    logp_batch=lambda xs: jnp.where(
+        xs[:, 0] > 0, -0.5 * xs[:, 0] ** 2, -jnp.inf),
+    logp_dc=lambda p: jnp.where(p[0] > 0, -0.5 * p[0] * p[0], -jnp.inf),
+)
+pt_h = ParallelTempering(
+    half, jnp.full((1024, 1), 0.5, jnp.float32), betas=pt_betas,
+    proposal_std=1.0, use_pallas="full", steps_per_call=16,
+).seed(21)
+hs = np.asarray(pt_h.run(512, 256)).ravel()
+out["pt_truncated"] = {
+    "nan_frac": float(np.mean(~np.isfinite(hs))),
+    "min": float(hs.min()), "mean": float(hs.mean()),
+    # a frozen chain never moves; unique-fraction ~1 when sampling works
+    "moved_frac": float(np.mean(hs[1:] != hs[:-1])),
+}
+
 # Determinism pins for the hardware-PRNG fused kernels (VERDICT r2
 # missing #2): same seed => bit-identical sample cube, plus a content
 # digest for the recorded-value tier (analog of nuts.rs:1138-1222).
@@ -217,12 +242,27 @@ def tpu_results():
         k: v for k, v in os.environ.items()
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
     }
-    proc = subprocess.run(
-        [sys.executable, "-c", _SCRIPT], cwd=_REPO, env=env,
-        capture_output=True, text=True, timeout=3000,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _SCRIPT], cwd=_REPO, env=env,
+            capture_output=True, text=True, timeout=3000,
+        )
+    except subprocess.TimeoutExpired:
+        # the outage mode where backend init blocks forever instead of
+        # raising: same transient-tunnel skip as below
+        pytest.skip("TPU unreachable (backend init timed out)")
     if proc.returncode == 42:
         pytest.skip("no TPU backend reachable")
+    if proc.returncode != 0 and any(
+        marker in proc.stderr for marker in
+        ("UNAVAILABLE", "DEADLINE_EXCEEDED", "failed to connect",
+         "Unable to initialize backend")
+    ):
+        # transient tunnel outage, not a code failure: the chip drops for
+        # minutes-to-hours at a time (CLAUDE.md) — skip loudly instead of
+        # erroring all 14 parity tests
+        pytest.skip(f"TPU unreachable (transient device/tunnel outage): "
+                    f"{proc.stderr[-300:]}")
     assert proc.returncode == 0, proc.stderr[-3000:]
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
@@ -334,6 +374,17 @@ def test_tpu_pt_pallas_matches_xla_path(tpu_results):
         assert 0.6 <= p["eff"][d] / x["eff"][d] <= 1.6, (p, x)
     for sp, sx in zip(p["swap"], x["swap"]):
         assert abs(sp - sx) <= 0.1, (p, x)
+
+
+def test_tpu_pt_pallas_bounded_support_no_nan_freeze(tpu_results):
+    # -inf log densities through the fused kernel's accept/swap selects:
+    # no NaNs in the cube, chains keep moving, and the half-normal's
+    # support/moment structure holds (mean of |N(0,1)| = sqrt(2/pi))
+    r = tpu_results["pt_truncated"]
+    assert r["nan_frac"] == 0.0, r
+    assert r["min"] > 0.0, r
+    assert r["moved_frac"] > 0.2, r
+    assert abs(r["mean"] - 0.7979) < 0.1, r
 
 
 def test_tpu_fused_kernels_same_seed_bitwise(tpu_results):
