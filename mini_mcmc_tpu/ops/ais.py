@@ -1,0 +1,189 @@
+"""Annealed importance sampling (Neal 2001): normalizing constants.
+
+Beyond-reference capability (the Rust reference stops at sampling): the
+standard estimator for the normalizing constant ``Z = ∫ exp(logp(x)) dx``
+of an unnormalized target — the quantity model comparison (Bayes factors,
+marginal likelihoods) needs and plain MCMC cannot produce.
+
+AIS anneals a population of particles from a tractable, NORMALIZED prior
+``p0`` to the target along the geometric path
+
+    f_beta(x) ∝ exp((1 - beta) * logp0(x) + beta * logp(x)),
+
+``0 = beta_0 < beta_1 < ... < beta_K = 1``, applying a few
+``f_beta``-invariant MH steps at each rung and accumulating the importance
+weight
+
+    log w = sum_k (beta_k - beta_{k-1}) * (logp(x_{k-1}) - logp0(x_{k-1})),
+
+evaluated at the particle BEFORE the rung's transition (Neal 2001 eq. 11).
+Because ``p0`` is normalized, ``E[w] = Z`` exactly for ANY rung count and
+ANY number of MH steps — the schedule controls variance, never bias — and
+``logsumexp(log_w) - log N`` is a consistent (slightly conservative,
+Jensen-biased-low) estimator of ``log Z``.
+
+TPU-native design: the particle population is one ``[N, D]`` lockstep
+batch (the same batched-MH update as ``ops/mh.py``), the anneal is a
+single ``lax.scan`` over a static rung schedule — one compiled program,
+zero host round-trips, and nothing reduces across particles inside the
+scan, so the particle axis shards like a chain axis (weights are combined
+once, at the end: a single ``logsumexp``). This is the same ladder
+machinery as ``ops/tempering.py`` run SEQUENTIALLY (one moving inverse
+temperature) instead of in parallel (a static ladder with swaps).
+
+Reference anchor: the tempered-density algebra mirrors
+``ops/tempering.py``; the reference crate has no AIS to cite.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..models.base import Target
+
+
+class AISResult(NamedTuple):
+    #: consistent log-Z estimate: logsumexp(log_weights) - log N
+    log_z: jax.Array
+    #: [N] per-particle log importance weights (E[exp] = Z, unbiased)
+    log_weights: jax.Array
+    #: [N, D] final particle positions (approximately target-distributed;
+    #: resample by normalized weight for exact importance resampling)
+    positions: jax.Array
+    #: normalized importance-weight effective sample size in (0, 1]:
+    #: (sum w)^2 / (N * sum w^2). Low values mean the schedule is too
+    #: coarse (add rungs / MH steps) — the variance diagnostic to gate on.
+    weight_ess: jax.Array
+
+
+def linear_betas(n_rungs: int) -> tuple:
+    """The default anneal schedule: ``n_rungs`` equal steps ``0 -> 1``."""
+    if n_rungs < 1:
+        raise ValueError(f"n_rungs must be >= 1, got {n_rungs}")
+    return tuple(float(b) for b in jnp.linspace(0.0, 1.0, n_rungs + 1)[1:])
+
+
+def ais_log_z(
+    target: Target,
+    n_particles: int,
+    dim: int,
+    *,
+    betas: Union[int, Sequence[float]] = 64,
+    n_mh_steps: int = 2,
+    proposal_std=0.5,
+    prior_mean=0.0,
+    prior_std=1.0,
+    seed: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+) -> AISResult:
+    """Estimate ``log Z`` of an unnormalized ``target`` by AIS.
+
+    Args:
+        target: the unnormalized target (``batch_logp`` is used).
+        n_particles: population size N (one lockstep ``[N, D]`` batch).
+        dim: target dimension D.
+        betas: an int (rung count for the default linear schedule) or an
+            explicit increasing schedule ending at 1.0 (``beta_0 = 0`` is
+            implicit). More rungs = lower weight variance, same mean.
+        n_mh_steps: ``f_beta``-invariant random-walk MH steps per rung.
+        proposal_std: MH random-walk scale (scalar or per-dimension [D]).
+        prior_mean / prior_std: the normalized Gaussian prior
+            ``N(prior_mean, diag(prior_std^2))`` (scalar or [D] each).
+            Center it on the target's bulk — AIS is exact for any choice,
+            but a distant prior needs a finer schedule.
+        seed / key: PRNG seeding (exactly one; ``seed`` defaults to 0).
+
+    Returns an :class:`AISResult`. Check ``weight_ess`` before trusting
+    ``log_z`` — a collapsed ESS means one particle dominates the estimate.
+    """
+    if n_particles < 2:
+        raise ValueError(f"n_particles must be >= 2, got {n_particles}")
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    if n_mh_steps < 0:
+        raise ValueError(f"n_mh_steps must be >= 0, got {n_mh_steps}")
+    if isinstance(betas, int):
+        betas = linear_betas(betas)
+    betas = tuple(float(b) for b in betas)
+    if not betas or abs(betas[-1] - 1.0) > 1e-12:
+        raise ValueError(f"betas must end at 1.0, got {betas!r}")
+    if any(b2 <= b1 for b1, b2 in zip((0.0,) + betas, betas)):
+        raise ValueError("betas must be strictly increasing in (0, 1], "
+                         f"got {betas!r}")
+    if key is None:
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+    elif seed is not None:
+        raise ValueError("pass seed or key, not both")
+
+    mean = jnp.broadcast_to(jnp.asarray(prior_mean, jnp.float32), (dim,))
+    std = jnp.broadcast_to(jnp.asarray(prior_std, jnp.float32), (dim,))
+    if bool(jnp.any(std <= 0)):
+        raise ValueError(f"prior_std must be positive, got {prior_std!r}")
+    sigma = jnp.atleast_1d(jnp.asarray(proposal_std, jnp.float32))
+    # log of the NORMALIZED prior density (the 1/2 log 2*pi*sigma^2 terms
+    # are what make E[w] = Z rather than Z / Z_prior).
+    log_norm = -0.5 * dim * jnp.log(2.0 * jnp.pi) - jnp.sum(jnp.log(std))
+
+    def prior_logp(xs):  # [N, D] -> [N]
+        return log_norm - 0.5 * jnp.sum(((xs - mean) / std) ** 2, axis=-1)
+
+    k_init, k_scan = jax.random.split(key)
+    x0 = mean + std * jax.random.normal(
+        k_init, (n_particles, dim), jnp.float32
+    )
+
+    beta_steps = jnp.asarray(betas, jnp.float32)
+    dbeta = jnp.diff(
+        jnp.concatenate([jnp.zeros(1, jnp.float32), beta_steps])
+    )
+    rung_keys = jax.random.split(k_scan, len(betas))
+
+    @jax.jit
+    def run(x0):
+        lp_t0 = target.batch_logp(x0)
+        lp_p0 = prior_logp(x0)
+
+        def rung(carry, inp):
+            x, lp_t, lp_p, log_w = carry
+            beta, d_beta, k = inp
+            # Weight increment at the PRE-transition particle (Neal 2001):
+            # log f_k(x_{k-1}) - log f_{k-1}(x_{k-1}) = d_beta*(lp_t-lp_p).
+            log_w = log_w + d_beta * (lp_t - lp_p)
+
+            def mh(carry, sub):
+                x, lp_t, lp_p = carry
+                kp, ku = jax.random.split(sub)
+                prop = x + sigma * jax.random.normal(kp, x.shape, x.dtype)
+                plp_t = target.batch_logp(prop)
+                plp_p = prior_logp(prop)
+                log_acc = ((1.0 - beta) * (plp_p - lp_p)
+                           + beta * (plp_t - lp_t))
+                u = jax.random.uniform(ku, log_acc.shape, log_acc.dtype)
+                acc = log_acc > jnp.log(u)
+                return (
+                    jnp.where(acc[:, None], prop, x),
+                    jnp.where(acc, plp_t, lp_t),
+                    jnp.where(acc, plp_p, lp_p),
+                ), None
+
+            if n_mh_steps > 0:  # static: jax.random.split rejects num=0
+                (x, lp_t, lp_p), _ = jax.lax.scan(
+                    mh, (x, lp_t, lp_p), jax.random.split(k, n_mh_steps)
+                )
+            return (x, lp_t, lp_p, log_w), None
+
+        carry0 = (x0, lp_t0, lp_p0, jnp.zeros(n_particles, jnp.float32))
+        (x, _, _, log_w), _ = jax.lax.scan(
+            rung, carry0, (beta_steps, dbeta, rung_keys)
+        )
+        log_z = jax.scipy.special.logsumexp(log_w) - jnp.log(
+            jnp.float32(n_particles)
+        )
+        w = jnp.exp(log_w - jnp.max(log_w))
+        ess = jnp.sum(w) ** 2 / (n_particles * jnp.sum(w * w))
+        return AISResult(log_z, log_w, x, ess)
+
+    return run(x0)

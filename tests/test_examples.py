@@ -33,6 +33,7 @@ def _run_example(name):
         "eight_schools_nuts",
         "ensemble_walkers",
         "bimodal_tempering",
+        "ais_log_z",
     ],
 )
 def test_example(name):
