@@ -122,27 +122,71 @@ def ais_log_z(
     std = jnp.broadcast_to(jnp.asarray(prior_std, jnp.float32), (dim,))
     if bool(jnp.any(std <= 0)):
         raise ValueError(f"prior_std must be positive, got {prior_std!r}")
-    sigma = jnp.atleast_1d(jnp.asarray(proposal_std, jnp.float32))
-    # log of the NORMALIZED prior density (the 1/2 log 2*pi*sigma^2 terms
-    # are what make E[w] = Z rather than Z / Z_prior).
-    log_norm = -0.5 * dim * jnp.log(2.0 * jnp.pi) - jnp.sum(jnp.log(std))
-
-    def prior_logp(xs):  # [N, D] -> [N]
-        return log_norm - 0.5 * jnp.sum(((xs - mean) / std) ** 2, axis=-1)
 
     k_init, k_scan = jax.random.split(key)
     x0 = mean + std * jax.random.normal(
         k_init, (n_particles, dim), jnp.float32
     )
+    rung_keys = jax.random.split(k_scan, len(betas))
 
+    anneal = make_anneal(target, betas, n_mh_steps=n_mh_steps,
+                         proposal_std=proposal_std, prior_mean=prior_mean,
+                         prior_std=prior_std)
+    x, log_w = anneal(x0, rung_keys)
+    # The ONLY cross-particle reductions, once, outside the anneal scan —
+    # the scan itself compiles to zero collectives over a sharded particle
+    # axis (pinned by tests/test_parallel.py).
+    log_z = jax.scipy.special.logsumexp(log_w) - jnp.log(
+        jnp.float32(n_particles)
+    )
+    w = jnp.exp(log_w - jnp.max(log_w))
+    ess = jnp.sum(w) ** 2 / (n_particles * jnp.sum(w * w))
+    return AISResult(log_z, log_w, x, ess)
+
+
+def make_anneal(
+    target: Target,
+    betas: Sequence[float],
+    *,
+    n_mh_steps: int = 2,
+    proposal_std=0.5,
+    prior_mean=0.0,
+    prior_std=1.0,
+):
+    """Build the jitted anneal scan ``(x0 [N, D], rung_keys [K]) ->
+    (x [N, D], log_weights [N])``.
+
+    The embarrassingly-parallel core of :func:`ais_log_z`, exposed so the
+    particle batch can be sharded over a mesh: nothing inside reduces
+    across particles (the log-Z ``logsumexp`` happens outside, once), so
+    the compiled SPMD program contains no collective ops and scales
+    linearly over chips — same invariant as the sampling scans, pinned by
+    ``tests/test_parallel.py``. ``x0`` MUST be distributed as the
+    ``N(prior_mean, diag(prior_std^2))`` prior for the weights to mean
+    anything.
+    """
+    betas = tuple(float(b) for b in betas)
+    sigma = jnp.atleast_1d(jnp.asarray(proposal_std, jnp.float32))
     beta_steps = jnp.asarray(betas, jnp.float32)
     dbeta = jnp.diff(
         jnp.concatenate([jnp.zeros(1, jnp.float32), beta_steps])
     )
-    rung_keys = jax.random.split(k_scan, len(betas))
 
     @jax.jit
-    def run(x0):
+    def anneal(x0, rung_keys):
+        dim = x0.shape[1]
+        mean = jnp.broadcast_to(
+            jnp.asarray(prior_mean, jnp.float32), (dim,)
+        )
+        std = jnp.broadcast_to(jnp.asarray(prior_std, jnp.float32), (dim,))
+        log_norm = (-0.5 * dim * jnp.log(2.0 * jnp.pi)
+                    - jnp.sum(jnp.log(std)))
+
+        def prior_logp(xs):  # [N, D] -> [N]
+            return log_norm - 0.5 * jnp.sum(
+                ((xs - mean) / std) ** 2, axis=-1
+            )
+
         lp_t0 = target.batch_logp(x0)
         lp_p0 = prior_logp(x0)
 
@@ -175,15 +219,12 @@ def ais_log_z(
                 )
             return (x, lp_t, lp_p, log_w), None
 
-        carry0 = (x0, lp_t0, lp_p0, jnp.zeros(n_particles, jnp.float32))
+        carry0 = (
+            x0, lp_t0, lp_p0, jnp.zeros(x0.shape[0], jnp.float32)
+        )
         (x, _, _, log_w), _ = jax.lax.scan(
             rung, carry0, (beta_steps, dbeta, rung_keys)
         )
-        log_z = jax.scipy.special.logsumexp(log_w) - jnp.log(
-            jnp.float32(n_particles)
-        )
-        w = jnp.exp(log_w - jnp.max(log_w))
-        ess = jnp.sum(w) ** 2 / (n_particles * jnp.sum(w * w))
-        return AISResult(log_z, log_w, x, ess)
+        return x, log_w
 
-    return run(x0)
+    return anneal
