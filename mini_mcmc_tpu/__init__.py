@@ -23,7 +23,7 @@ from . import models, ops, parallel, stats, utils
 from .checkpoint import load_checkpoint, save_checkpoint
 from .diagnostics import ModernDiagnostics, rank_normalized_diagnostics
 from .nuts import NUTS
-from .ops.ais import AISResult, ais_log_z, linear_betas
+from .ops.ais import AISResult, ais_log_z, linear_betas, resample
 from .ops.tempering import geometric_betas, tune_betas
 from .runner import make_initial_recording_runner, make_simple_runner
 from .samplers import (
@@ -54,6 +54,7 @@ __all__ = [
     "AISResult",
     "ais_log_z",
     "linear_betas",
+    "resample",
     "geometric_betas",
     "tune_betas",
     "RunStats",

@@ -144,6 +144,32 @@ def ais_log_z(
     return AISResult(log_z, log_w, x, ess)
 
 
+def resample(log_weights, positions, key, n_draws: Optional[int] = None):
+    """Systematic importance resampling: weighted particles -> an
+    unweighted ``[n_draws, D]`` sample of the target.
+
+    The standard low-variance scheme (one uniform, stratified inverse-CDF
+    lookup): particle i is drawn ``floor(N * W_i + u)`` or one more times,
+    so resampling noise is strictly smaller than multinomial sampling's.
+    Use on :class:`AISResult`'s ``(log_weights, positions)`` when
+    downstream code needs plain draws rather than a weighted population;
+    duplicates are expected wherever the weight ESS is below 1.
+    """
+    log_w = jnp.asarray(log_weights)
+    n = log_w.shape[0]
+    if n_draws is None:
+        n_draws = n
+    if n_draws < 1:
+        raise ValueError(f"n_draws must be >= 1, got {n_draws}")
+    w = jax.nn.softmax(log_w)
+    cdf = jnp.cumsum(w)
+    u = (jax.random.uniform(key, (), w.dtype)
+         + jnp.arange(n_draws, dtype=w.dtype)) / n_draws
+    idx = jnp.searchsorted(cdf, u)
+    idx = jnp.clip(idx, 0, n - 1)
+    return jnp.asarray(positions)[idx]
+
+
 def make_anneal(
     target: Target,
     betas: Sequence[float],

@@ -99,3 +99,32 @@ def test_determinism_and_validation():
         ais_log_z(t, 256, 1, seed=1, key=jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="prior_std"):
         ais_log_z(t, 256, 1, prior_std=0.0)
+
+
+def test_resample_matches_weighted_moments():
+    # systematic resampling turns the weighted population into unweighted
+    # draws whose moments match the self-normalized importance estimate
+    import jax
+
+    from mini_mcmc_tpu.ops.ais import resample
+
+    t = _unnorm_gaussian([2.0], [0.7])
+    r = ais_log_z(t, 8192, 1, betas=32, n_mh_steps=2, seed=2)
+    w = np.exp(np.asarray(r.log_weights)
+               - np.max(np.asarray(r.log_weights)))
+    w = w / w.sum()
+    weighted_mean = float(w @ np.asarray(r.positions)[:, 0])
+    draws = resample(r.log_weights, r.positions, jax.random.PRNGKey(0))
+    assert draws.shape == (8192, 1)
+    assert abs(float(np.mean(np.asarray(draws))) - weighted_mean) < 0.03
+    assert abs(weighted_mean - 2.0) < 0.1
+    # stratified: a dominant weight is replicated ~N*W_i times, +-1
+    log_w = np.full(64, -np.inf, np.float32)
+    log_w[[3, 40]] = np.log(0.75), np.log(0.25)
+    pos = np.arange(64, dtype=np.float32)[:, None]
+    d = np.asarray(resample(log_w, pos, jax.random.PRNGKey(1)))
+    assert abs(np.sum(d == 3.0) - 48) <= 1 and abs(np.sum(d == 40.0) - 16) <= 1
+    # n_draws override + validation
+    assert resample(log_w, pos, jax.random.PRNGKey(2), n_draws=7).shape == (7, 1)
+    with pytest.raises(ValueError, match="n_draws"):
+        resample(log_w, pos, jax.random.PRNGKey(3), n_draws=0)

@@ -242,6 +242,21 @@ def tpu_results():
         k: v for k, v in os.environ.items()
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
     }
+    # Preflight with a short timeout: during tunnel outages the TPU
+    # backend INIT blocks indefinitely, which would otherwise hang the
+    # fixture for the full 3000 s before skipping.
+    try:
+        pre = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, sys; "
+             "sys.exit(0 if jax.default_backend() == 'tpu' else 42)"],
+            cwd=_REPO, env=env, capture_output=True, timeout=240,
+        )
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU unreachable (backend init timed out)")
+    if pre.returncode == 42:
+        pytest.skip("no TPU backend reachable")
+
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _SCRIPT], cwd=_REPO, env=env,
