@@ -5,8 +5,8 @@ A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
 Hamiltonian Monte Carlo, the No-U-Turn Sampler and Gibbs sampling over
 thousands of lockstep parallel chains — plus beyond-reference
 affine-invariant ensemble (``EnsembleSampler``) and replica-exchange
-(``ParallelTempering``) samplers and annealed-importance-sampling
-normalizing constants (``ais_log_z``) — with streaming convergence
+(``ParallelTempering``) samplers and normalizing-constant estimation
+(``ais_log_z``, adaptive ``smc_log_z``) — with streaming convergence
 diagnostics (acceptance EWMA, live R-hat), Stan-style split R-hat + ESS,
 progress reporting, reproducible counter-based PRNG, checkpoint/resume, and
 CSV/Arrow/Parquet export of the canonical ``[n_chains, n_collect, dim]``
@@ -24,6 +24,7 @@ from .checkpoint import load_checkpoint, save_checkpoint
 from .diagnostics import ModernDiagnostics, rank_normalized_diagnostics
 from .nuts import NUTS
 from .ops.ais import AISResult, ais_log_z, linear_betas, resample
+from .ops.smc import SMCResult, smc_log_z
 from .ops.tempering import geometric_betas, tune_betas
 from .runner import make_initial_recording_runner, make_simple_runner
 from .samplers import (
@@ -55,6 +56,8 @@ __all__ = [
     "ais_log_z",
     "linear_betas",
     "resample",
+    "SMCResult",
+    "smc_log_z",
     "geometric_betas",
     "tune_betas",
     "RunStats",
