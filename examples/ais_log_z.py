@@ -50,12 +50,22 @@ def main():
     quad = float(Y @ np.linalg.solve(cov, Y))
     true = -0.5 * (n * np.log(2 * np.pi) + logdet + quad)
 
-    print(f"n = {n} observations, 8192 particles, 64 rungs")
-    print(f"AIS log evidence      {float(r.log_z):+.4f}")
+    # The adaptive sibling: no schedule to choose — SMC picks each
+    # temperature increment from the population's incremental-weight ESS.
+    from mini_mcmc_tpu import smc_log_z
+
+    s = smc_log_z(target, n_particles=8192, dim=1, proposal_std=0.5,
+                  seed=0)
+
+    print(f"n = {n} observations, 8192 particles")
+    print(f"AIS log evidence      {float(r.log_z):+.4f}  (64 fixed rungs)")
+    print(f"SMC log evidence      {float(s.log_z):+.4f}  "
+          f"({s.n_stages} adaptive stages)")
     print(f"analytic log evidence {true:+.4f}")
-    print(f"weight ESS            {float(r.weight_ess):.2f} "
+    print(f"AIS weight ESS        {float(r.weight_ess):.2f} "
           "(near 1 = schedule fine enough)")
     assert abs(float(r.log_z) - true) < 0.05
+    assert abs(float(s.log_z) - true) < 0.05
     return float(r.log_z)
 
 
