@@ -1,14 +1,32 @@
-"""Step kernels: one pure ``(init_fn, step_fn)`` pair per algorithm."""
+"""Step kernels: one pure ``(init_fn, step_fn)`` pair per algorithm,
+plus the population estimators (AIS/SMC) built from the same algebra."""
 
+from .ais import AISResult, ais_log_z, linear_betas, make_anneal, resample
+from .ensemble import EnsembleState, ensemble_kernel
 from .gibbs import GibbsState, gibbs_kernel
 from .hmc import HMCState, hmc_kernel
 from .mh import MHState, mh_kernel
+from .smc import SMCResult, smc_log_z
+from .tempering import PTState, geometric_betas, tempering_kernel, tune_betas
 
 __all__ = [
+    "AISResult",
+    "EnsembleState",
     "GibbsState",
     "HMCState",
     "MHState",
+    "PTState",
+    "SMCResult",
+    "ais_log_z",
+    "ensemble_kernel",
+    "geometric_betas",
     "gibbs_kernel",
     "hmc_kernel",
+    "linear_betas",
+    "make_anneal",
     "mh_kernel",
+    "resample",
+    "smc_log_z",
+    "tempering_kernel",
+    "tune_betas",
 ]
