@@ -6,7 +6,7 @@ from .ensemble import EnsembleState, ensemble_kernel
 from .gibbs import GibbsState, gibbs_kernel
 from .hmc import HMCState, hmc_kernel
 from .mh import MHState, mh_kernel
-from .smc import SMCResult, smc_log_z
+from .smc import SMCResult, make_smc_run, smc_log_z
 from .tempering import PTState, geometric_betas, tempering_kernel, tune_betas
 
 __all__ = [
@@ -24,6 +24,7 @@ __all__ = [
     "hmc_kernel",
     "linear_betas",
     "make_anneal",
+    "make_smc_run",
     "mh_kernel",
     "resample",
     "smc_log_z",

@@ -31,6 +31,10 @@ once, at the end: a single ``logsumexp``). This is the same ladder
 machinery as ``ops/tempering.py`` run SEQUENTIALLY (one moving inverse
 temperature) instead of in parallel (a static ladder with swaps).
 
+The Gaussian-prior algebra, tempered-MH sweep, and systematic-resampling
+strata here are the shared building blocks of the adaptive sampler too
+(``ops/smc.py`` imports them) — fix them HERE, not in a copy.
+
 Reference anchor: the tempered-density algebra mirrors
 ``ops/tempering.py``; the reference crate has no AIS to cite.
 """
@@ -43,6 +47,11 @@ import jax
 import jax.numpy as jnp
 
 from ..models.base import Target
+
+#: float32 strata (``(u + arange(n)) / n``) collapse above 2^24 — distinct
+#: strata would repeat, silently double-drawing some particles. Guarded in
+#: every systematic-resampling call site.
+_STRATA_CAP = 1 << 24
 
 
 class AISResult(NamedTuple):
@@ -64,6 +73,92 @@ def linear_betas(n_rungs: int) -> tuple:
     if n_rungs < 1:
         raise ValueError(f"n_rungs must be >= 1, got {n_rungs}")
     return tuple(float(b) for b in jnp.linspace(0.0, 1.0, n_rungs + 1)[1:])
+
+
+def _validate_betas(betas) -> tuple:
+    """Shared schedule validation: strictly increasing, ends at 1.0
+    (``beta_0 = 0`` implicit). Used by every entry point that accepts a
+    schedule — a wrong bridge density returns silently wrong weights."""
+    betas = tuple(float(b) for b in betas)
+    if not betas or abs(betas[-1] - 1.0) > 1e-12:
+        raise ValueError(f"betas must end at 1.0, got {betas!r}")
+    if any(b2 <= b1 for b1, b2 in zip((0.0,) + betas, betas)):
+        raise ValueError("betas must be strictly increasing in (0, 1], "
+                         f"got {betas!r}")
+    return betas
+
+
+def _resolve_key(seed, key):
+    if key is None:
+        return jax.random.PRNGKey(0 if seed is None else seed)
+    if seed is not None:
+        raise ValueError("pass seed or key, not both")
+    return key
+
+
+def _gaussian_prior(prior_mean, prior_std, dim: int):
+    """Validated NORMALIZED Gaussian prior: ``(mean [D], std [D],
+    prior_logp: [N, D] -> [N])``. The ``log_norm`` constants are load-
+    bearing — they are what make ``E[w] = Z`` rather than ``Z/Z_prior``.
+    Validation and constants use host numpy so the helper works both
+    eagerly and inside a jit trace (jnp constants become tracers there)."""
+    import numpy as np
+
+    mean_h = np.broadcast_to(np.asarray(prior_mean, np.float32), (dim,))
+    std_h = np.broadcast_to(np.asarray(prior_std, np.float32), (dim,))
+    if np.any(std_h <= 0):
+        raise ValueError(f"prior_std must be positive, got {prior_std!r}")
+    log_norm = float(
+        -0.5 * dim * np.log(2.0 * np.pi) - np.sum(np.log(std_h))
+    )
+    mean = jnp.asarray(mean_h)
+    std = jnp.asarray(std_h)
+
+    def prior_logp(xs):  # [N, D] -> [N]
+        return log_norm - 0.5 * jnp.sum(((xs - mean) / std) ** 2, axis=-1)
+
+    return mean, std, prior_logp
+
+
+def _make_tempered_mh(target: Target, prior_logp, sigma, n_mh_steps: int):
+    """``f_beta``-invariant random-walk MH sweeps, shared by AIS and SMC:
+    ``sweeps(x, lp_t, lp_p, beta, key) -> (x, lp_t, lp_p)``."""
+
+    def sweeps(x, lp_t, lp_p, beta, key):
+        def mh(carry, sub):
+            x, lp_t, lp_p = carry
+            kp, ku = jax.random.split(sub)
+            prop = x + sigma * jax.random.normal(kp, x.shape, x.dtype)
+            plp_t = target.batch_logp(prop)
+            plp_p = prior_logp(prop)
+            log_acc = ((1.0 - beta) * (plp_p - lp_p)
+                       + beta * (plp_t - lp_t))
+            u = jax.random.uniform(ku, log_acc.shape, log_acc.dtype)
+            acc = log_acc > jnp.log(u)
+            return (
+                jnp.where(acc[:, None], prop, x),
+                jnp.where(acc, plp_t, lp_t),
+                jnp.where(acc, plp_p, lp_p),
+            ), None
+
+        if n_mh_steps > 0:  # static: jax.random.split rejects num=0
+            (x, lp_t, lp_p), _ = jax.lax.scan(
+                mh, (x, lp_t, lp_p), jax.random.split(key, n_mh_steps)
+            )
+        return x, lp_t, lp_p
+
+    return sweeps
+
+
+def _systematic_indices(log_w, key, n: int, n_draws: int):
+    """Stratified inverse-CDF indices of the systematic resampling scheme
+    (one uniform, ``n_draws`` equal strata). Traceable; callers guard
+    ``n_draws <= _STRATA_CAP`` eagerly."""
+    w = jax.nn.softmax(log_w)
+    cdf = jnp.cumsum(w)
+    u = (jax.random.uniform(key, (), w.dtype)
+         + jnp.arange(n_draws, dtype=w.dtype)) / n_draws
+    return jnp.clip(jnp.searchsorted(cdf, u), 0, n - 1)
 
 
 def ais_log_z(
@@ -98,40 +193,30 @@ def ais_log_z(
 
     Returns an :class:`AISResult`. Check ``weight_ess`` before trusting
     ``log_z`` — a collapsed ESS means one particle dominates the estimate.
+
+    Each call builds (and jit-traces) a fresh anneal program; for repeated
+    estimates of the same configuration — seed studies, sharded runs —
+    build once with :func:`make_anneal` and reuse it.
     """
     if n_particles < 2:
         raise ValueError(f"n_particles must be >= 2, got {n_particles}")
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    if n_mh_steps < 0:
-        raise ValueError(f"n_mh_steps must be >= 0, got {n_mh_steps}")
     if isinstance(betas, int):
         betas = linear_betas(betas)
-    betas = tuple(float(b) for b in betas)
-    if not betas or abs(betas[-1] - 1.0) > 1e-12:
-        raise ValueError(f"betas must end at 1.0, got {betas!r}")
-    if any(b2 <= b1 for b1, b2 in zip((0.0,) + betas, betas)):
-        raise ValueError("betas must be strictly increasing in (0, 1], "
-                         f"got {betas!r}")
-    if key is None:
-        key = jax.random.PRNGKey(0 if seed is None else seed)
-    elif seed is not None:
-        raise ValueError("pass seed or key, not both")
-
-    mean = jnp.broadcast_to(jnp.asarray(prior_mean, jnp.float32), (dim,))
-    std = jnp.broadcast_to(jnp.asarray(prior_std, jnp.float32), (dim,))
-    if bool(jnp.any(std <= 0)):
-        raise ValueError(f"prior_std must be positive, got {prior_std!r}")
+    key = _resolve_key(seed, key)
+    mean, std, _ = _gaussian_prior(prior_mean, prior_std, dim)
 
     k_init, k_scan = jax.random.split(key)
     x0 = mean + std * jax.random.normal(
         k_init, (n_particles, dim), jnp.float32
     )
-    rung_keys = jax.random.split(k_scan, len(betas))
 
     anneal = make_anneal(target, betas, n_mh_steps=n_mh_steps,
                          proposal_std=proposal_std, prior_mean=prior_mean,
                          prior_std=prior_std)
+    betas = _validate_betas(betas)
+    rung_keys = jax.random.split(k_scan, len(betas))
     x, log_w = anneal(x0, rung_keys)
     # The ONLY cross-particle reductions, once, outside the anneal scan —
     # the scan itself compiles to zero collectives over a sharded particle
@@ -161,12 +246,13 @@ def resample(log_weights, positions, key, n_draws: Optional[int] = None):
         n_draws = n
     if n_draws < 1:
         raise ValueError(f"n_draws must be >= 1, got {n_draws}")
-    w = jax.nn.softmax(log_w)
-    cdf = jnp.cumsum(w)
-    u = (jax.random.uniform(key, (), w.dtype)
-         + jnp.arange(n_draws, dtype=w.dtype)) / n_draws
-    idx = jnp.searchsorted(cdf, u)
-    idx = jnp.clip(idx, 0, n - 1)
+    if n_draws > _STRATA_CAP:
+        raise ValueError(
+            f"n_draws={n_draws} exceeds the float32 strata resolution "
+            f"(2^24 = {_STRATA_CAP}): distinct strata would collapse and "
+            "silently double-draw particles. Resample in <= 2^24 blocks."
+        )
+    idx = _systematic_indices(log_w, key, n, n_draws)
     return jnp.asarray(positions)[idx]
 
 
@@ -183,15 +269,18 @@ def make_anneal(
     (x [N, D], log_weights [N])``.
 
     The embarrassingly-parallel core of :func:`ais_log_z`, exposed so the
-    particle batch can be sharded over a mesh: nothing inside reduces
-    across particles (the log-Z ``logsumexp`` happens outside, once), so
-    the compiled SPMD program contains no collective ops and scales
-    linearly over chips — same invariant as the sampling scans, pinned by
-    ``tests/test_parallel.py``. ``x0`` MUST be distributed as the
-    ``N(prior_mean, diag(prior_std^2))`` prior for the weights to mean
-    anything.
+    particle batch can be sharded over a mesh AND so the traced program
+    can be reused across calls (a fresh ``ais_log_z`` call re-traces):
+    nothing inside reduces across particles (the log-Z ``logsumexp``
+    happens outside, once), so the compiled SPMD program contains no
+    collective ops and scales linearly over chips — same invariant as the
+    sampling scans, pinned by ``tests/test_parallel.py``. ``x0`` MUST be
+    distributed as the ``N(prior_mean, diag(prior_std^2))`` prior for the
+    weights to mean anything.
     """
-    betas = tuple(float(b) for b in betas)
+    betas = _validate_betas(betas)
+    if n_mh_steps < 0:
+        raise ValueError(f"n_mh_steps must be >= 0, got {n_mh_steps}")
     sigma = jnp.atleast_1d(jnp.asarray(proposal_std, jnp.float32))
     beta_steps = jnp.asarray(betas, jnp.float32)
     dbeta = jnp.diff(
@@ -200,19 +289,10 @@ def make_anneal(
 
     @jax.jit
     def anneal(x0, rung_keys):
-        dim = x0.shape[1]
-        mean = jnp.broadcast_to(
-            jnp.asarray(prior_mean, jnp.float32), (dim,)
+        _, _, prior_logp = _gaussian_prior(
+            prior_mean, prior_std, x0.shape[1]
         )
-        std = jnp.broadcast_to(jnp.asarray(prior_std, jnp.float32), (dim,))
-        log_norm = (-0.5 * dim * jnp.log(2.0 * jnp.pi)
-                    - jnp.sum(jnp.log(std)))
-
-        def prior_logp(xs):  # [N, D] -> [N]
-            return log_norm - 0.5 * jnp.sum(
-                ((xs - mean) / std) ** 2, axis=-1
-            )
-
+        sweeps = _make_tempered_mh(target, prior_logp, sigma, n_mh_steps)
         lp_t0 = target.batch_logp(x0)
         lp_p0 = prior_logp(x0)
 
@@ -222,27 +302,7 @@ def make_anneal(
             # Weight increment at the PRE-transition particle (Neal 2001):
             # log f_k(x_{k-1}) - log f_{k-1}(x_{k-1}) = d_beta*(lp_t-lp_p).
             log_w = log_w + d_beta * (lp_t - lp_p)
-
-            def mh(carry, sub):
-                x, lp_t, lp_p = carry
-                kp, ku = jax.random.split(sub)
-                prop = x + sigma * jax.random.normal(kp, x.shape, x.dtype)
-                plp_t = target.batch_logp(prop)
-                plp_p = prior_logp(prop)
-                log_acc = ((1.0 - beta) * (plp_p - lp_p)
-                           + beta * (plp_t - lp_t))
-                u = jax.random.uniform(ku, log_acc.shape, log_acc.dtype)
-                acc = log_acc > jnp.log(u)
-                return (
-                    jnp.where(acc[:, None], prop, x),
-                    jnp.where(acc, plp_t, lp_t),
-                    jnp.where(acc, plp_p, lp_p),
-                ), None
-
-            if n_mh_steps > 0:  # static: jax.random.split rejects num=0
-                (x, lp_t, lp_p), _ = jax.lax.scan(
-                    mh, (x, lp_t, lp_p), jax.random.split(k, n_mh_steps)
-                )
+            x, lp_t, lp_p = sweeps(x, lp_t, lp_p, beta, k)
             return (x, lp_t, lp_p, log_w), None
 
         carry0 = (
