@@ -4,9 +4,10 @@ A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
 ``mini-mcmc`` (Rust, reference at /root/reference): Metropolis-Hastings,
 Hamiltonian Monte Carlo, the No-U-Turn Sampler and Gibbs sampling over
 thousands of lockstep parallel chains — plus beyond-reference
-affine-invariant ensemble (``EnsembleSampler``) and replica-exchange
-(``ParallelTempering``) samplers and normalizing-constant estimation
-(``ais_log_z``, adaptive ``smc_log_z``) — with streaming convergence
+affine-invariant ensemble (``EnsembleSampler``), coordinate slice
+(``SliceSampler``) and replica-exchange (``ParallelTempering``) samplers
+and normalizing-constant estimation (``ais_log_z``, adaptive
+``smc_log_z``) — with streaming convergence
 diagnostics (acceptance EWMA, live R-hat), Stan-style split R-hat + ESS,
 progress reporting, reproducible counter-based PRNG, checkpoint/resume, and
 CSV/Arrow/Parquet export of the canonical ``[n_chains, n_collect, dim]``
@@ -33,6 +34,7 @@ from .samplers import (
     GibbsSampler,
     MetropolisHastings,
     ParallelTempering,
+    SliceSampler,
 )
 from .stats import (
     RunStats,
@@ -52,6 +54,7 @@ __all__ = [
     "GibbsSampler",
     "MetropolisHastings",
     "ParallelTempering",
+    "SliceSampler",
     "AISResult",
     "ais_log_z",
     "linear_betas",

@@ -6,6 +6,7 @@ from .ensemble import EnsembleState, ensemble_kernel
 from .gibbs import GibbsState, gibbs_kernel
 from .hmc import HMCState, hmc_kernel
 from .mh import MHState, mh_kernel
+from .slice import SliceState, slice_kernel
 from .smc import SMCResult, make_smc_run, smc_log_z
 from .tempering import PTState, geometric_betas, tempering_kernel, tune_betas
 
@@ -17,6 +18,7 @@ __all__ = [
     "MHState",
     "PTState",
     "SMCResult",
+    "SliceState",
     "ais_log_z",
     "ensemble_kernel",
     "geometric_betas",
@@ -27,6 +29,7 @@ __all__ = [
     "make_smc_run",
     "mh_kernel",
     "resample",
+    "slice_kernel",
     "smc_log_z",
     "tempering_kernel",
     "tune_betas",

@@ -31,6 +31,7 @@ from .ops.ensemble import ensemble_kernel
 from .ops.gibbs import gibbs_kernel
 from .ops.hmc import hmc_kernel
 from .ops.mh import mh_kernel
+from .ops.slice import slice_kernel
 from .ops.tempering import geometric_betas, tempering_kernel
 from .progress import progress_run
 from .runner import _default_positions_of, make_simple_runner
@@ -412,6 +413,43 @@ class ParallelTempering(_KernelSampler):
         if seed is None:
             new._key = self._next_key()
         return new
+
+
+class SliceSampler(_KernelSampler):
+    """Coordinate-wise slice sampler (Neal 2003) — beyond-reference,
+    gradient-free and self-tuning.
+
+    One step = one full coordinate sweep (the ``GibbsSampler`` convention),
+    but only ``target.logp`` is needed — no full conditionals and no
+    proposal scale to tune: the stepping-out/shrinkage bracket adapts to
+    the local slice every update, so the stationary distribution is exact
+    for ANY positive ``width`` (a bad width only costs iterations). All
+    chains advance in lockstep; the data-dependent bracket loops are
+    masked ``lax.while_loop``s over the whole batch (``ops/slice.py``).
+
+    ``width``: initial bracket width, scalar or per-coordinate ``[D]`` —
+    the target's marginal scale is a good choice. Initial positions must
+    lie inside the support (``logp > -inf``).
+
+    Example:
+        >>> from mini_mcmc_tpu import SliceSampler, init_det
+        >>> from mini_mcmc_tpu.models import gaussian2d
+        >>> target = gaussian2d([0., 0.], [[1., 0.], [0., 1.]])
+        >>> ss = SliceSampler(target, init_det(4, 2)).seed(42)
+        >>> ss.run(1000, 100).shape
+        (4, 1000, 2)
+    """
+
+    def __init__(self, target: Target, initial_positions, width=1.0,
+                 max_stepouts: int = 8, max_shrink: int = 32,
+                 seed: Optional[int] = None, steps_per_call: int = 1):
+        self.target = target
+        self.width = width
+        init_fn, step_fn = slice_kernel(
+            target, width=width, max_stepouts=max_stepouts,
+            max_shrink=max_shrink, steps_per_call=steps_per_call,
+        )
+        super().__init__(init_fn, step_fn, initial_positions, seed)
 
 
 class GibbsSampler(_KernelSampler):
