@@ -5,7 +5,8 @@ A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
 Hamiltonian Monte Carlo, the No-U-Turn Sampler and Gibbs sampling over
 thousands of lockstep parallel chains — plus beyond-reference
 affine-invariant ensemble (``EnsembleSampler``), coordinate slice
-(``SliceSampler``) and replica-exchange (``ParallelTempering``) samplers
+(``SliceSampler``), elliptical slice (``EllipticalSliceSampler``) and
+replica-exchange (``ParallelTempering``) samplers
 and normalizing-constant estimation (``ais_log_z``, adaptive
 ``smc_log_z``) — with streaming convergence
 diagnostics (acceptance EWMA, live R-hat), Stan-style split R-hat + ESS,
@@ -30,6 +31,7 @@ from .ops.tempering import geometric_betas, tune_betas
 from .runner import make_initial_recording_runner, make_simple_runner
 from .samplers import (
     HMC,
+    EllipticalSliceSampler,
     EnsembleSampler,
     GibbsSampler,
     MetropolisHastings,
@@ -50,6 +52,7 @@ __version__ = "0.1.0"
 __all__ = [
     "HMC",
     "NUTS",
+    "EllipticalSliceSampler",
     "EnsembleSampler",
     "GibbsSampler",
     "MetropolisHastings",

@@ -2,6 +2,7 @@
 plus the population estimators (AIS/SMC) built from the same algebra."""
 
 from .ais import AISResult, ais_log_z, linear_betas, make_anneal, resample
+from .elliptical import EllipticalState, elliptical_kernel
 from .ensemble import EnsembleState, ensemble_kernel
 from .gibbs import GibbsState, gibbs_kernel
 from .hmc import HMCState, hmc_kernel
@@ -12,6 +13,7 @@ from .tempering import PTState, geometric_betas, tempering_kernel, tune_betas
 
 __all__ = [
     "AISResult",
+    "EllipticalState",
     "EnsembleState",
     "GibbsState",
     "HMCState",
@@ -20,6 +22,7 @@ __all__ = [
     "SMCResult",
     "SliceState",
     "ais_log_z",
+    "elliptical_kernel",
     "ensemble_kernel",
     "geometric_betas",
     "gibbs_kernel",

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from . import stats as stats_mod
 from .models.base import Conditional, Proposal, Target
+from .ops.elliptical import elliptical_kernel
 from .ops.ensemble import ensemble_kernel
 from .ops.gibbs import gibbs_kernel
 from .ops.hmc import hmc_kernel
@@ -413,6 +414,47 @@ class ParallelTempering(_KernelSampler):
         if seed is None:
             new._key = self._next_key()
         return new
+
+
+class EllipticalSliceSampler(_KernelSampler):
+    """Elliptical slice sampling (Murray, Adams & MacKay 2010) —
+    beyond-reference, the tuning-free sampler for Gaussian-prior models.
+
+    Samples ``p(x) ∝ N(x; prior_mean, Sigma) * L(x)``: pass the
+    LIKELIHOOD ``L`` as ``loglik`` (a :class:`~mini_mcmc_tpu.models.base.
+    Target`; only ``logp`` is used) and the prior via ``prior_mean`` +
+    ``prior_scale`` (scalar std, ``[D]`` stds, or a ``[D, D]``
+    lower-Cholesky of the covariance). The prior is handled EXACTLY by
+    the ellipse construction — do not fold it into ``loglik``. No step
+    size, no bracket width, no acceptance target: every update accepts
+    within a few geometric bracket shrinks (``ops/elliptical.py``).
+
+    This is the workhorse for latent Gaussian models (GP regression/
+    classification with non-Gaussian likelihoods), where ``D`` is the
+    number of latent function values and the prior Cholesky matmul rides
+    the MXU.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> from mini_mcmc_tpu import EllipticalSliceSampler, init_det
+        >>> from mini_mcmc_tpu.models.base import Target
+        >>> lik = Target(logp=lambda x: -0.5 * jnp.sum((x - 1.0) ** 2))
+        >>> es = EllipticalSliceSampler(lik, init_det(4, 2)).seed(42)
+        >>> es.run(1000, 100).shape
+        (4, 1000, 2)
+    """
+
+    def __init__(self, loglik: Target, initial_positions, prior_mean=0.0,
+                 prior_scale=1.0, max_shrink: int = 32,
+                 seed: Optional[int] = None, steps_per_call: int = 1):
+        self.loglik = loglik
+        self.prior_mean = prior_mean
+        self.prior_scale = prior_scale
+        init_fn, step_fn = elliptical_kernel(
+            loglik, prior_mean=prior_mean, prior_scale=prior_scale,
+            max_shrink=max_shrink, steps_per_call=steps_per_call,
+        )
+        super().__init__(init_fn, step_fn, initial_positions, seed)
 
 
 class SliceSampler(_KernelSampler):
