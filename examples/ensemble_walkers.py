@@ -30,11 +30,11 @@ def main():
         target, isotropic_gaussian_proposal(0.1), init
     ).seed(1)
     mh_sample = mh.run(2000, 500)
-    mh_ess, mh_rhat = split_rhat_mean_ess(mh_sample)
+    mh_rhat, mh_ess = split_rhat_mean_ess(mh_sample)
 
     es = EnsembleSampler(target, init, walkers_per_ensemble=64).seed(1)
     es_sample = es.run(2000, 500)
-    es_ess, es_rhat = split_rhat_mean_ess(es_sample)
+    es_rhat, es_ess = split_rhat_mean_ess(es_sample)
 
     print("target: 2D Gaussian, std = (10, 0.1), corr = 0.6")
     print(f"isotropic MH   ESS {np.asarray(mh_ess).round(1)}"

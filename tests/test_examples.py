@@ -34,6 +34,7 @@ def _run_example(name):
         "ensemble_walkers",
         "bimodal_tempering",
         "ais_log_z",
+        "gp_robust_regression",
     ],
 )
 def test_example(name):
