@@ -534,13 +534,19 @@ def bench_beyond() -> dict:
     gated like every other config so their README numbers are backed by
     the driver artifact instead of hand-recorded (VERDICT r2 weak #4
     discipline): the affine-invariant ensemble sampler on a correlated
-    Gaussian, and replica-exchange tempering recovering the mode weights
-    of a 32-sigma-separated bimodal mixture from a single-mode start."""
+    Gaussian, replica-exchange tempering recovering the mode weights of a
+    32-sigma-separated bimodal mixture from a single-mode start, the
+    coordinate slice sampler on the ensemble's target, elliptical slice
+    on a 64-point latent-GP posterior gated against the ANALYTIC
+    conjugate posterior, and the AIS/SMC evidence estimators gated
+    against analytic log Z."""
     import numpy as np
 
     from mini_mcmc_tpu import (
+        EllipticalSliceSampler,
         EnsembleSampler,
         ParallelTempering,
+        SliceSampler,
         geometric_betas,
     )
     from mini_mcmc_tpu.models import Target, gaussian2d
@@ -633,6 +639,98 @@ def bench_beyond() -> dict:
         "replica_updates_per_sec": ct * n_temps * nt / elapsed,
         "mode_weight": frac_plus,
         "min_swap_acceptance": float(swap.min()),
+        "quality_gate": "passed",
+    }
+
+    # Coordinate slice sampling (ops/slice.py) on the ensemble stage's
+    # correlated Gaussian: gradient-free AND tuning-free — width=1 on a
+    # std-2 target just steps out. Same moment/R-hat gates.
+    cs, ns = 65536, 2048
+    sl = SliceSampler(
+        target, init_with_seed(cs, 2, seed=7), width=1.0,
+        steps_per_call=16,
+    ).seed(7)
+    _sync(sl.run(ns, 0, time_major=True))  # burn + compile
+    sample, elapsed = _timed_best(
+        lambda: _sync(sl.run(ns, 0, time_major=True)))
+    rhat, ess = split_rhat_mean_ess(sample, time_major=True)
+    ess_mean = float(jnp.mean(ess))
+    rhat_mean = float(jnp.mean(rhat))
+    mean = jnp.mean(sample, axis=(0, 1))
+    var = jnp.var(sample, axis=(0, 1))
+    _gate("slice rhat", 0.95 <= rhat_mean <= 1.05, rhat_mean)
+    _gate("slice ess floor", ess_mean >= 0.05 * cs * ns, (ess_mean, cs * ns))
+    for d, (m_true, v_true) in enumerate(((0.0, 4.0), (1.0, 3.0))):
+        _gate(f"slice mean[{d}]",
+              abs(float(mean[d]) - m_true) <= 0.05, float(mean[d]))
+        _gate(f"slice var[{d}]",
+              abs(float(var[d]) - v_true) <= 0.2, float(var[d]))
+    out["slice_gauss2d_65k"] = {
+        "config": f"Gaussian2D([0,1],[[4,2],[2,3]]) coordinate slice, "
+        f"{cs} chains, {ns}+{ns} sweeps, width=1, XLA K=16",
+        "elapsed_s": elapsed,
+        "sweeps_per_sec": cs * ns / elapsed,
+        "ess_per_sec": ess_mean / elapsed,
+        "rhat_mean": rhat_mean,
+        "quality_gate": "passed",
+    }
+
+    # Elliptical slice (ops/elliptical.py) on a 64-point latent-GP
+    # posterior with a CONJUGATE Gaussian likelihood, so the gate is the
+    # analytic posterior: mean = K(K+s^2 I)^-1 y, cov = K - K(K+s^2 I)^-1 K
+    # (computed in float64 from the exact float32 Cholesky the sampler
+    # uses). The prior draw is a [C, 64] @ [64, 64] matmul per step.
+    d_gp, c_el, n_el, s_noise = 64, 4096, 2048, 0.3
+    xs_gp = np.linspace(-3.0, 3.0, d_gp)
+    k_gp = np.exp(-0.5 * (xs_gp[:, None] - xs_gp[None, :]) ** 2 / 0.6**2)
+    chol64 = np.linalg.cholesky(k_gp + 1e-4 * np.eye(d_gp))
+    chol32 = jnp.asarray(chol64, jnp.float32)
+    k_eff = np.asarray(chol32, np.float64) @ np.asarray(chol32, np.float64).T
+    rng = np.random.default_rng(0)
+    f_true = chol64 @ rng.standard_normal(d_gp)
+    y64 = f_true + s_noise * rng.standard_normal(d_gp)
+    solve = np.linalg.solve(k_eff + s_noise**2 * np.eye(d_gp), y64)
+    post_mean = k_eff @ solve
+    post_cov = k_eff - k_eff @ np.linalg.solve(
+        k_eff + s_noise**2 * np.eye(d_gp), k_eff
+    )
+    y32 = jnp.asarray(y64, jnp.float32)
+
+    def _gp_loglik_batch(f):
+        return -0.5 * jnp.sum(((y32 - f) / s_noise) ** 2, axis=-1)
+
+    el = EllipticalSliceSampler(
+        Target(logp=lambda f: _gp_loglik_batch(f[None])[0],
+               logp_batch=_gp_loglik_batch),
+        jnp.zeros((c_el, d_gp), jnp.float32), prior_scale=chol32,
+        steps_per_call=16,
+    ).seed(9)
+    _sync(el.run(n_el, 0, time_major=True))  # burn + compile
+    sample, elapsed = _timed_best(
+        lambda: _sync(el.run(n_el, 0, time_major=True)))
+    rhat, _ = split_rhat_mean_ess(sample, time_major=True)
+    rhat_mean = float(jnp.mean(rhat))
+    mean = np.asarray(jnp.mean(sample, axis=(0, 1)), np.float64)
+    var = np.asarray(jnp.var(sample, axis=(0, 1)), np.float64)
+    mean_err = float(np.max(np.abs(mean - post_mean)))
+    var_err = float(np.max(np.abs(var / np.diag(post_cov) - 1.0)))
+    # The (reference-quirk) inverted split R-hat sqrt(W/var) approaches 1
+    # FROM BELOW as n grows on an autocorrelated chain; the slowest GP
+    # coordinates sit near 0.95 at n=2048, so the band is wider here —
+    # the analytic posterior-moment gates below are the sharp check.
+    _gate("elliptical rhat", 0.90 <= rhat_mean <= 1.05, rhat_mean)
+    _gate("elliptical posterior mean", mean_err <= 0.05, mean_err)
+    _gate("elliptical posterior var", var_err <= 0.2, var_err)
+    out["elliptical_gp64_4k"] = {
+        "config": f"latent GP, {d_gp} points, conjugate Gaussian "
+        f"likelihood, {c_el} chains, {n_el}+{n_el} steps, XLA K=16, "
+        "vs analytic posterior",
+        "elapsed_s": elapsed,
+        "latent_draws_per_sec": c_el * n_el / elapsed,
+        "latent_values_per_sec": c_el * n_el * d_gp / elapsed,
+        "max_abs_mean_err": mean_err,
+        "max_rel_var_err": var_err,
+        "rhat_mean": rhat_mean,
         "quality_gate": "passed",
     }
 
