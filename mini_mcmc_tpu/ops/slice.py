@@ -16,7 +16,9 @@ per-chain-recursive NUTS lockstep in ``ops/nuts.py``):
 - **stepping out** expands every chain's bracket together, each lane
   stopping when its own edges leave the slice (or its randomized budget is
   spent); the loop exits when every lane has stopped. Both edges are
-  evaluated in ONE ``[2C]`` fused target call per iteration.
+  evaluated in one fused target call per iteration (vmapped over a new
+  leading axis — never concatenated along the chain axis, which would
+  break chain sharding).
 - **shrinkage** draws candidates for all unconverged lanes together,
   accepting per-lane with ``where`` selects; geometric interval shrinkage
   guarantees quick convergence, and a generous iteration cap bounds the
@@ -112,12 +114,12 @@ def slice_kernel(target: Target, *, width=1.0, max_stepouts: int = 8,
             return target.batch_logp(positions.at[:, i].set(values))
 
         def f_edges(lv, rv):
-            """Both bracket edges in ONE fused [2C] target call."""
-            tiled = jnp.concatenate([positions, positions])
-            both = target.batch_logp(
-                tiled.at[:, i].set(jnp.concatenate([lv, rv]))
-            )
-            return both[:n_chains], both[n_chains:]
+            """Both bracket edges in one fused call: vmap over a NEW
+            leading axis (never concatenate along the chain axis — that
+            would force an all-gather when chains are sharded over a
+            mesh; tests/test_parallel.py pins scalar-reduce-only)."""
+            both = jax.vmap(f)(jnp.stack([lv, rv]))
+            return both[0], both[1]
 
         # Slice height: log y = logp(x) + log U, U ~ Uniform(0, 1).
         logy = logp + jnp.log(

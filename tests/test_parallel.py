@@ -354,3 +354,58 @@ def test_ais_anneal_scan_compiles_to_zero_collectives():
     # (unnormalized standard normal in 2D: log Z = log(2*pi))
     r = ais_log_z(target, 2048, 2, betas=16, seed=0)
     assert abs(float(r.log_z) - float(np.log(2 * np.pi))) < 0.1
+
+
+def test_sharded_slice_and_elliptical_scalar_reduce_only():
+    """The slice/elliptical bracket loops are LOCKSTEP while_loops whose
+    exit condition is an any() over ALL chains, so their sharded sampling
+    scans legitimately emit scalar all-reduces (one per bracket
+    iteration) — but nothing heavier: no all-gather/permute of the state
+    itself ever (the same invariant class as the tracked-progress scan).
+    Sharded must also equal unsharded bit-for-bit: the global any() only
+    controls how LONG the loop runs, never which lanes update, and
+    retired lanes are frozen by their masks."""
+    from mini_mcmc_tpu import EllipticalSliceSampler, SliceSampler
+    from mini_mcmc_tpu.models.base import Target
+
+    mesh = chain_mesh()
+    target = gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+
+    def make_slice():
+        return SliceSampler(target, init_det(512, 2), width=1.0).seed(5)
+
+    ss = make_slice()
+    ss.state = shard_sampler_state(mesh, ss.state)
+    hlo = ss._runner.lower(
+        ss.state, jax.random.PRNGKey(0), 32, 8,
+        tracker=None, time_major=False,
+    ).compile().as_text()
+    heavy = [op for op in _COLLECTIVE_OPS if op != "all-reduce"
+             and op in hlo]
+    assert not heavy, f"slice scan emitted heavy collectives: {heavy}"
+    a = np.asarray(make_slice().run(32, 8))
+    b = np.asarray(ss.run(32, 8))
+    np.testing.assert_array_equal(a, b)
+
+    lik = Target(
+        logp=lambda x: -0.5 * jnp.sum((x - 1.0) ** 2),
+        logp_batch=lambda xs: -0.5 * jnp.sum((xs - 1.0) ** 2, axis=-1),
+    )
+
+    def make_ell():
+        return EllipticalSliceSampler(
+            lik, init_det(512, 2), prior_scale=2.0
+        ).seed(6)
+
+    es = make_ell()
+    es.state = shard_sampler_state(mesh, es.state)
+    hlo = es._runner.lower(
+        es.state, jax.random.PRNGKey(0), 32, 8,
+        tracker=None, time_major=False,
+    ).compile().as_text()
+    heavy = [op for op in _COLLECTIVE_OPS if op != "all-reduce"
+             and op in hlo]
+    assert not heavy, f"elliptical scan emitted heavy collectives: {heavy}"
+    a = np.asarray(make_ell().run(32, 8))
+    b = np.asarray(es.run(32, 8))
+    np.testing.assert_array_equal(a, b)
