@@ -1,7 +1,8 @@
-"""Cross-sampler agreement: MH, HMC, and NUTS sample the same correlated
-Gaussian; their estimated means, covariances and tail quantiles must agree
-with each other and with the analytic values. A bug in any one kernel's
-accept rule, integrator, or tree bookkeeping shows up as a systematic
+"""Cross-sampler agreement: MH, HMC, NUTS, coordinate slice and
+elliptical slice all sample the same correlated Gaussian; their estimated
+means, covariances and tail quantiles must agree with each other and with
+the analytic values. A bug in any one kernel's accept rule, integrator,
+tree bookkeeping, or bracket construction shows up as a systematic
 discrepancy here even when that sampler's own unit tests pass.
 """
 
@@ -9,12 +10,20 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.stats import norm
 
-from mini_mcmc_tpu import HMC, NUTS, MetropolisHastings, init_det
+from mini_mcmc_tpu import (
+    HMC,
+    NUTS,
+    EllipticalSliceSampler,
+    MetropolisHastings,
+    SliceSampler,
+    init_det,
+)
 from mini_mcmc_tpu.models import (
     diffable_gaussian2d,
     gaussian2d,
     isotropic_gaussian_proposal,
 )
+from mini_mcmc_tpu.models.base import Target
 
 MEAN = np.array([1.0, -2.0])
 COV = np.array([[2.0, 0.8], [0.8, 1.5]])
@@ -30,10 +39,21 @@ def _run_all():
     ).seed(1)
     hmc = HMC(diffable_gaussian2d(MEAN, COV), init_det(8, 2), 0.3, 15).seed(2)
     nuts = NUTS(diffable_gaussian2d(MEAN, COV), init_det(8, 2), 0.8).seed(3)
+    sl = SliceSampler(gaussian2d(MEAN, COV), init_det(8, 2)).seed(4)
+    # elliptical: the target IS the prior (flat likelihood), sampled
+    # exactly through the ellipse construction
+    ell = EllipticalSliceSampler(
+        Target(logp=lambda x: jnp.zeros(())),
+        init_det(8, 2),
+        prior_mean=jnp.asarray(MEAN, jnp.float32),
+        prior_scale=jnp.asarray(np.linalg.cholesky(COV), jnp.float32),
+    ).seed(5)
     return {
         "mh": _flat(mh.run(4000, 1000)),
         "hmc": _flat(hmc.run(2500, 500)),
         "nuts": _flat(nuts.run(1500, 500)),
+        "slice": _flat(sl.run(2500, 500)),
+        "elliptical": _flat(ell.run(2500, 500)),
     }
 
 
