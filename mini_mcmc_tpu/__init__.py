@@ -21,7 +21,7 @@ runners are ``lax.scan`` loops compiled once by XLA; chains shard over a
 by XLA collectives over ICI.
 """
 
-from . import models, ops, parallel, stats, utils
+from . import io, models, ops, parallel, stats, utils
 from .checkpoint import load_checkpoint, save_checkpoint
 from .diagnostics import ModernDiagnostics, rank_normalized_diagnostics
 from .nuts import NUTS
@@ -73,6 +73,7 @@ __all__ = [
     "init",
     "init_det",
     "init_with_seed",
+    "io",
     "load_checkpoint",
     "ModernDiagnostics",
     "make_initial_recording_runner",
