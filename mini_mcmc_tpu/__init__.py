@@ -23,7 +23,12 @@ by XLA collectives over ICI.
 
 from . import io, models, ops, parallel, stats, utils
 from .checkpoint import load_checkpoint, save_checkpoint
-from .diagnostics import ModernDiagnostics, rank_normalized_diagnostics
+from .diagnostics import (
+    ModernDiagnostics,
+    Summary,
+    rank_normalized_diagnostics,
+    summary,
+)
 from .nuts import NUTS
 from .ops.ais import AISResult, ais_log_z, linear_betas, resample
 from .ops.smc import SMCResult, smc_log_z
@@ -86,5 +91,7 @@ __all__ = [
     "save_checkpoint",
     "split_rhat_mean_ess",
     "stats",
+    "Summary",
+    "summary",
     "utils",
 ]

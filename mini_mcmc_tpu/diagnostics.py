@@ -144,6 +144,113 @@ def _diagnostics_impl(sample: jax.Array):
     return rhat_bulk, rhat_folded, ess_bulk, ess_tail
 
 
+@dataclasses.dataclass
+class Summary:
+    """Per-parameter posterior summary table (arrays of shape ``[P]``,
+    ``quantiles`` of shape ``[Q, P]``). ``str()`` renders the aligned
+    table; iterate ``names`` for the row order."""
+
+    names: tuple
+    mean: jax.Array
+    sd: jax.Array
+    mcse_mean: jax.Array
+    mcse_sd: jax.Array
+    q_levels: tuple
+    quantiles: jax.Array
+    ess_bulk: jax.Array
+    ess_tail: jax.Array
+    rhat: jax.Array
+
+    def __str__(self) -> str:
+        header = (["parameter", "mean", "sd", "mcse_mean", "mcse_sd"]
+                  + [f"q{100 * q:g}" for q in self.q_levels]
+                  + ["ess_bulk", "ess_tail", "rhat"])
+        rows = [header]
+        for i, name in enumerate(self.names):
+            rows.append(
+                [name]
+                + [f"{float(a[i]):.3f}" for a in
+                   (self.mean, self.sd, self.mcse_mean, self.mcse_sd)]
+                + [f"{float(self.quantiles[j, i]):.3f}"
+                   for j in range(len(self.q_levels))]
+                + [f"{float(self.ess_bulk[i]):.0f}",
+                   f"{float(self.ess_tail[i]):.0f}",
+                   f"{float(self.rhat[i]):.4f}"]
+            )
+        widths = [max(len(r[c]) for r in rows) for c in range(len(header))]
+        return "\n".join(
+            "  ".join(cell.rjust(w) for cell, w in zip(r, widths))
+            for r in rows
+        )
+
+
+def summary(sample: jax.Array, *, quantiles=(0.05, 0.5, 0.95),
+            param_names=None, time_major: bool = False) -> Summary:
+    """One-stop posterior summary: mean, sd, Monte-Carlo standard errors,
+    quantiles, bulk/tail ESS, and rank-normalized R-hat per parameter —
+    the analysis-time report (the arviz ``summary`` analog; the
+    reference's closest surface is ``RunStats``'s ESS/R-hat pair,
+    /root/reference/src/stats.rs:339-371).
+
+    MCSE of the mean is ``sd / sqrt(ess_bulk)``; MCSE of the sd uses the
+    Vehtari et al. (2021) approximation with ``ess_sd = min(ess(x),
+    ess(x^2))``. Both are Monte-Carlo (sampling) errors, not posterior
+    uncertainty.
+
+    Args:
+        sample: ``[chains, observations, parameters]`` cube (or
+            time-major with ``time_major=True``).
+        quantiles: posterior quantile levels to report.
+        param_names: ``[P]`` row labels (default ``x0..x{P-1}``).
+    """
+    sample = jnp.asarray(sample, jnp.float32)
+    if sample.ndim != 3:
+        raise ValueError(
+            f"sample must be a 3-D cube; got shape {sample.shape}"
+        )
+    if time_major:
+        sample = jnp.swapaxes(sample, 0, 1)
+    p = sample.shape[2]
+    if param_names is None:
+        param_names = tuple(f"x{i}" for i in range(p))
+    param_names = tuple(param_names)
+    if len(param_names) != p:
+        raise ValueError(
+            f"{len(param_names)} param_names for {p} parameters"
+        )
+    q_levels = tuple(float(q) for q in quantiles)
+
+    diag = rank_normalized_diagnostics(sample)
+    mean, sd, qs, ess_sd = _summary_impl(sample, q_levels)
+    ess_sd = jnp.minimum(diag.ess_bulk, ess_sd)
+    mcse_mean = sd / jnp.sqrt(diag.ess_bulk)
+    # Vehtari et al. 2021 app. A: sd's relative MC error from ess_sd,
+    # fac = e * (1 - 1/ess)^(ess-1) - 1 (~ 1/(2 ess) for large ess).
+    # Computed as expm1(1 + (ess-1) log1p(-1/ess)): the naive power form
+    # cancels catastrophically in float32 (rounds to 0 for ess ~ 1e4).
+    fac = jnp.expm1(1.0 + (ess_sd - 1.0) * jnp.log1p(-1.0 / ess_sd))
+    mcse_sd = sd * jnp.sqrt(jnp.maximum(fac, 0.0))
+    return Summary(
+        names=param_names, mean=mean, sd=sd, mcse_mean=mcse_mean,
+        mcse_sd=mcse_sd, q_levels=q_levels, quantiles=qs,
+        ess_bulk=diag.ess_bulk, ess_tail=diag.ess_tail, rhat=diag.rhat,
+    )
+
+
+@partial(jax.jit, static_argnames=("q_levels",))
+def _summary_impl(sample: jax.Array, q_levels: tuple):
+    c, n, p = sample.shape
+    pm = jnp.transpose(sample, (2, 0, 1)).reshape(p, c * n)  # [P, S]
+    mean = jnp.mean(pm, axis=1)
+    sd = jnp.std(pm, axis=1, ddof=1)
+    qs = jnp.quantile(pm, jnp.asarray(q_levels), axis=1)  # [Q, P]
+    # split-ESS of x^2 for the sd's MCSE
+    splitted = _splitcat(sample * sample)
+    within, var = _withinvar(splitted)
+    ess_sq = _ess(splitted, within, var)
+    return mean, sd, qs, ess_sq
+
+
 def rank_normalized_diagnostics(
     sample: jax.Array, *, time_major: bool = False
 ) -> ModernDiagnostics:

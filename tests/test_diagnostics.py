@@ -110,3 +110,68 @@ def test_rejects_non_cube_input():
 def test_str_summary_renders():
     s = str(rank_normalized_diagnostics(_iid_normal_cube(c=4, n=200)))
     assert "rank-normalized R-hat" in s and "bulk ESS" in s
+
+
+# -- summary() ---------------------------------------------------------------
+
+
+def test_summary_iid_normal_values():
+    from mini_mcmc_tpu import summary
+
+    key = jax.random.PRNGKey(3)
+    sample = jax.random.normal(key, (4, 4000, 2))
+    s = summary(sample)
+    np.testing.assert_allclose(np.asarray(s.mean), [0.0, 0.0], atol=0.05)
+    np.testing.assert_allclose(np.asarray(s.sd), [1.0, 1.0], atol=0.05)
+    # default quantile levels: 5% / 50% / 95% of N(0, 1)
+    np.testing.assert_allclose(
+        np.asarray(s.quantiles),
+        [[-1.645, -1.645], [0.0, 0.0], [1.645, 1.645]],
+        atol=0.08,
+    )
+    # iid draws: ESS near the sample count, mcse_mean = sd/sqrt(ess)
+    assert float(jnp.min(s.ess_bulk)) > 0.8 * 16000
+    np.testing.assert_allclose(
+        np.asarray(s.mcse_mean),
+        np.asarray(s.sd) / np.sqrt(np.asarray(s.ess_bulk)),
+        rtol=1e-5,
+    )
+    assert np.all(np.asarray(s.mcse_sd) > 0)
+    assert np.all(np.asarray(s.mcse_sd) < 0.05)
+    assert float(jnp.max(s.rhat)) < 1.01
+    assert s.names == ("x0", "x1")
+
+
+def test_summary_table_and_names():
+    from mini_mcmc_tpu import summary
+
+    sample = jax.random.normal(jax.random.PRNGKey(4), (2, 500, 2))
+    s = summary(sample, param_names=("alpha", "beta"),
+                quantiles=(0.25, 0.75))
+    text = str(s)
+    assert "alpha" in text and "beta" in text
+    assert "q25" in text and "q75" in text
+    assert "ess_bulk" in text and "rhat" in text
+    with pytest.raises(ValueError, match="param_names"):
+        summary(sample, param_names=("only_one",))
+
+
+def test_summary_time_major_matches():
+    from mini_mcmc_tpu import summary
+
+    sample = jax.random.normal(jax.random.PRNGKey(5), (4, 300, 3))
+    a = summary(sample)
+    b = summary(jnp.swapaxes(sample, 0, 1), time_major=True)
+    np.testing.assert_allclose(np.asarray(a.mean), np.asarray(b.mean))
+    np.testing.assert_allclose(np.asarray(a.ess_bulk),
+                               np.asarray(b.ess_bulk))
+
+
+def test_summary_mcse_shrinks_with_more_draws():
+    from mini_mcmc_tpu import summary
+
+    key = jax.random.PRNGKey(6)
+    small = summary(jax.random.normal(key, (4, 250, 1)))
+    big = summary(jax.random.normal(key, (4, 4000, 1)))
+    assert float(big.mcse_mean[0]) < 0.4 * float(small.mcse_mean[0])
+    assert float(big.mcse_sd[0]) < 0.4 * float(small.mcse_sd[0])
