@@ -39,6 +39,19 @@ sh = h.run(200, 100)
 assert sh.dtype == jnp.float64, sh.dtype
 rhat, ess = mm.split_rhat_mean_ess(sh)
 assert np.all(np.isfinite(np.asarray(rhat)))
+
+ss = mm.SliceSampler(t, jnp.asarray(mm.init_det(4, 2), jnp.float64)).seed(2)
+s2 = ss.run(300, 50)
+assert s2.dtype == jnp.float64, s2.dtype
+assert abs(float(jnp.mean(s2))) < 0.3
+
+from mini_mcmc_tpu.models.base import Target
+lik = Target(logp=lambda x: -0.5 * jnp.sum((x - 1.0) ** 2))
+es = mm.EllipticalSliceSampler(
+    lik, jnp.asarray(mm.init_det(4, 2), jnp.float64)).seed(3)
+s3 = es.run(300, 50)
+assert s3.dtype == jnp.float64, s3.dtype
+assert abs(float(jnp.mean(s3)) - 0.5) < 0.25
 print("OK")
 """
 
