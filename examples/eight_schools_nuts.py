@@ -124,10 +124,12 @@ def main(n_chains=32, n_collect=1000, n_discard=500):
     print(f"non-centered: E[mu]={mu_hat:.3f}  E[tau]={tau_hat:.3f}  "
           f"steady-state divergence rate={rate_nc:.2%}")
     print(run_stats(sample))
-    from mini_mcmc_tpu import rank_normalized_diagnostics
+    from mini_mcmc_tpu import rank_normalized_diagnostics, summary
 
     modern = rank_normalized_diagnostics(sample)
     print(modern)
+    # the one-stop per-parameter report for the interesting coordinates
+    print(summary(sample[:, :, :2], param_names=("mu", "log_tau")))
 
     # Centered: same posterior, funnel geometry — the per-run divergence
     # delta (the reference's nuts.rs:807 check, surfaced per sampler run)
