@@ -2,6 +2,14 @@
 
 Schema parity with the reference (/root/reference/src/io/csv.rs:47-147):
 header ``chain,observation,dim_0,...``; one row per (chain, observation).
+
+Float cubes route through the native C++ writer (``native/
+mcmc_native.cpp``, ~20x the pure-Python row loop on multi-million-row
+cubes — the IO layer the reference implements natively in Rust) when the
+library builds; the pure-Python path is the fallback and the integer-cube
+path. Both write values with shortest-round-trip formatting, so parsing
+either file recovers identical doubles (the exact TEXT can differ in
+exponent style between the two writers).
 """
 
 from __future__ import annotations
@@ -11,15 +19,32 @@ import csv
 import numpy as np
 
 
-def save_csv(data, filename: str) -> None:
+def save_csv(data, filename: str, *, native: bool | str = "auto") -> None:
     """Save a ``[n_chains, n_obs, n_dims]`` array as CSV.
 
-    Values are written with Python's default formatting (the reference uses
-    Rust ``Display``, io/csv.rs:63-66); integer cubes stay integers.
+    Values are written with shortest round-trip formatting (the reference
+    uses Rust ``Display``, io/csv.rs:63-66); integer cubes stay integers.
+
+    Args:
+        native: ``"auto"`` (default) uses the C++ fast path for float
+            cubes when available; ``True`` requires it (raises if the
+            native library cannot be built); ``False`` forces the
+            pure-Python writer.
     """
     arr = np.asarray(data)
     if arr.ndim != 3:
         raise ValueError(f"expected [chains, observations, dims], got {arr.shape}")
+    if native and arr.dtype.kind == "f":
+        try:
+            from ..native import save_csv_cube
+
+            save_csv_cube(arr, filename)
+            return
+        except Exception:
+            if native is not True:
+                pass  # auto: fall back to the Python writer
+            else:
+                raise
     n_chains, n_obs, n_dims = arr.shape
     with open(filename, "w", newline="") as f:
         writer = csv.writer(f)
@@ -31,7 +56,7 @@ def save_csv(data, filename: str) -> None:
                 writer.writerow([c, o] + [v for v in arr[c, o].tolist()])
 
 
-def save_csv_tensor(tensor, filename: str) -> None:
+def save_csv_tensor(tensor, filename: str, *, native: bool | str = "auto") -> None:
     """Device-array variant (mirrors ``save_csv_tensor``,
     io/csv.rs:112-147); same schema."""
-    save_csv(np.asarray(tensor), filename)
+    save_csv(np.asarray(tensor), filename, native=native)

@@ -43,6 +43,12 @@ def load(rebuild: bool = False) -> ctypes.CDLL:
     lib.mcmc_split_rhat_ess.argtypes = [
         f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f32p, f32p,
     ]
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.mcmc_save_csv_f64.argtypes = [
+        f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_char_p,
+    ]
+    lib.mcmc_save_csv_f64.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -92,3 +98,26 @@ def split_rhat_ess(sample) -> Tuple[np.ndarray, np.ndarray]:
     ess = np.empty((p,), np.float32)
     lib.mcmc_split_rhat_ess(_ptr(sample), c, n, p, _ptr(rhat), _ptr(ess))
     return rhat, ess
+
+
+def save_csv_cube(cube, path: str) -> None:
+    """Fast CSV export of a ``[c, n, d]`` float cube (reference schema).
+
+    Values are written with shortest-round-trip formatting
+    (``std::to_chars``) — parsing the text recovers the exact double,
+    the same guarantee as the Python writer's ``repr`` (exact TEXT may
+    differ in exponent style). ~20x the pure-Python writer on
+    multi-million-row cubes; ``io.csv_io.save_csv`` uses this
+    automatically when the library is available.
+    """
+    lib = load()
+    cube = np.ascontiguousarray(np.asarray(cube, dtype=np.float64))
+    if cube.ndim != 3:
+        raise ValueError(f"expected [c, n, d], got shape {cube.shape}")
+    c, n, d = cube.shape
+    rc = lib.mcmc_save_csv_f64(
+        cube.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        c, n, d, path.encode(),
+    )
+    if rc != 0:
+        raise OSError(f"native CSV writer failed (code {rc}) for {path}")

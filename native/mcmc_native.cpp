@@ -17,8 +17,11 @@
 // Built as a plain C ABI shared library; bound via ctypes
 // (mini_mcmc_tpu/native.py).
 
+#include <charconv>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstring>
 #include <vector>
 
 extern "C" {
@@ -143,6 +146,69 @@ void mcmc_split_rhat_ess(const float* sample, int64_t c, int64_t n, int64_t p,
     float tau = -1.0f + 2.0f * out;
     ess_out[j] = static_cast<float>(c2) * static_cast<float>(half) / tau;
   }
+}
+
+// Fast CSV export of the [c, n, d] sample cube (the runtime/IO layer the
+// reference implements natively in Rust, /root/reference/src/io/csv.rs:
+// 47-147). Schema: header "chain,observation,dim_0,..", one row per
+// (chain, observation). Doubles are written with std::to_chars shortest
+// round-trip formatting (the same guarantee as Python repr / Rust
+// Display: parsing the text recovers the exact double). Returns 0 on
+// success, nonzero on I/O failure.
+int mcmc_save_csv_f64(const double* data, int64_t c, int64_t n, int64_t d,
+                      const char* path) {
+  std::FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  // ~1 MiB staging buffer, flushed when the headroom for one row
+  // (2 integers + d doubles at <= 32 chars each) runs out.
+  std::vector<char> buf(1 << 20);
+  size_t pos = 0;
+  const size_t row_max = 32 * (static_cast<size_t>(d) + 2);
+  auto flush = [&]() -> bool {
+    bool ok = std::fwrite(buf.data(), 1, pos, f) == pos;
+    pos = 0;
+    return ok;
+  };
+  auto put_str = [&](const char* s, size_t len) {
+    std::memcpy(buf.data() + pos, s, len);
+    pos += len;
+  };
+  auto put_i64 = [&](int64_t v) {
+    auto r = std::to_chars(buf.data() + pos, buf.data() + buf.size(), v);
+    pos = static_cast<size_t>(r.ptr - buf.data());
+  };
+  auto put_f64 = [&](double v) {
+    auto r = std::to_chars(buf.data() + pos, buf.data() + buf.size(), v);
+    pos = static_cast<size_t>(r.ptr - buf.data());
+  };
+
+  put_str("chain,observation", 17);
+  for (int64_t j = 0; j < d; ++j) {
+    put_str(",dim_", 5);
+    put_i64(j);
+  }
+  put_str("\n", 1);
+
+  for (int64_t i = 0; i < c; ++i) {
+    for (int64_t t = 0; t < n; ++t) {
+      if (pos + row_max > buf.size() && !flush()) {
+        std::fclose(f);
+        return 2;
+      }
+      put_i64(i);
+      buf[pos++] = ',';
+      put_i64(t);
+      const double* row = data + (i * n + t) * d;
+      for (int64_t j = 0; j < d; ++j) {
+        buf[pos++] = ',';
+        put_f64(row[j]);
+      }
+      buf[pos++] = '\n';
+    }
+  }
+  bool ok = flush();
+  if (std::fclose(f) != 0) ok = false;
+  return ok ? 0 : 2;
 }
 
 }  // extern "C"

@@ -97,3 +97,79 @@ def test_parquet_tensor_observation_major():
     assert table.column_names == ["observation", "chain", "dim_0", "dim_1"]
     obs = table.column("observation").to_numpy()
     np.testing.assert_array_equal(obs, [0, 0, 1, 1, 2, 2])
+
+
+def test_csv_native_fast_path_value_identical():
+    # The C++ writer (native/mcmc_native.cpp mcmc_save_csv_f64) must
+    # produce the same schema and value-identical rows as the Python
+    # writer: both use shortest-round-trip float formatting, so PARSED
+    # values match exactly even where the text style could differ.
+    import tempfile
+
+    from mini_mcmc_tpu.io.csv_io import save_csv
+    from mini_mcmc_tpu.native import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(1)
+    cube = rng.standard_normal((4, 30, 3))
+    # extreme magnitudes + signed zero exercise the formatter corners
+    cube[0, 0] = [0.0, -0.0, 1e-300]
+    cube[0, 1] = [1e300, -1.5e-8, 12345678.9]
+    with tempfile.TemporaryDirectory() as d:
+        save_csv(cube, d + "/n.csv", native=True)
+        save_csv(cube, d + "/p.csv", native=False)
+        na = open(d + "/n.csv").read().splitlines()
+        pa = open(d + "/p.csv").read().splitlines()
+        assert na[0] == pa[0] == "chain,observation,dim_0,dim_1,dim_2"
+        assert len(na) == len(pa) == 4 * 30 + 1
+        va = np.genfromtxt(d + "/n.csv", delimiter=",", skip_header=1)
+        vb = np.genfromtxt(d + "/p.csv", delimiter=",", skip_header=1)
+    np.testing.assert_array_equal(va, vb)
+    np.testing.assert_array_equal(va[:, 2:], cube.reshape(-1, 3))
+
+
+def test_csv_native_float32_matches_python_path():
+    # float32 cubes: both writers expand to the exact double value of
+    # each float32 (the Python path via .tolist(), the native path via
+    # the float64 cast), so parsed outputs match bit-for-bit.
+    import tempfile
+
+    from mini_mcmc_tpu.io.csv_io import save_csv
+    from mini_mcmc_tpu.native import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    cube = np.random.default_rng(2).standard_normal((2, 10, 2)).astype(
+        np.float32
+    )
+    with tempfile.TemporaryDirectory() as d:
+        save_csv(cube, d + "/n.csv", native=True)
+        save_csv(cube, d + "/p.csv", native=False)
+        va = np.genfromtxt(d + "/n.csv", delimiter=",", skip_header=1)
+        vb = np.genfromtxt(d + "/p.csv", delimiter=",", skip_header=1)
+    np.testing.assert_array_equal(va, vb)
+
+
+def test_csv_native_failure_raises_or_falls_back():
+    from mini_mcmc_tpu.io.csv_io import save_csv
+    from mini_mcmc_tpu.native import available
+
+    if not available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    cube = np.zeros((1, 2, 2))
+    bad = "/nonexistent_dir_xyz/out.csv"
+    import pytest
+
+    with pytest.raises(OSError):
+        save_csv(cube, bad, native=True)
+    # auto mode: the Python writer fallback hits the same bad path and
+    # raises its own (file) error — nothing silently succeeds
+    with pytest.raises(OSError):
+        save_csv(cube, bad, native="auto")
