@@ -221,14 +221,19 @@ def summary(sample: jax.Array, *, quantiles=(0.05, 0.5, 0.95),
     q_levels = tuple(float(q) for q in quantiles)
 
     diag = rank_normalized_diagnostics(sample)
-    mean, sd, qs, ess_sd = _summary_impl(sample, q_levels)
-    ess_sd = jnp.minimum(diag.ess_bulk, ess_sd)
+    mean, sd, qs, ess_x, ess_x2 = _summary_impl(sample, q_levels)
+    ess_sd = jnp.minimum(ess_x, ess_x2)
     mcse_mean = sd / jnp.sqrt(diag.ess_bulk)
-    # Vehtari et al. 2021 app. A: sd's relative MC error from ess_sd,
+    # Vehtari et al. 2021 app. A: sd's relative MC error from
+    # ess_sd = min(ess(x), ess(x^2)), with
     # fac = e * (1 - 1/ess)^(ess-1) - 1 (~ 1/(2 ess) for large ess).
     # Computed as expm1(1 + (ess-1) log1p(-1/ess)): the naive power form
     # cancels catastrophically in float32 (rounds to 0 for ess ~ 1e4).
-    fac = jnp.expm1(1.0 + (ess_sd - 1.0) * jnp.log1p(-1.0 / ess_sd))
+    # Clamp ess to just above 1 — at ess <= 1 the log1p term is -inf/NaN
+    # and jnp.maximum would PROPAGATE the NaN; the clamped value yields
+    # fac ~ e-1, i.e. mcse_sd ~ 1.3 sd, the honest "no information" answer.
+    safe_ess = jnp.maximum(ess_sd, 1.0 + 1e-6)
+    fac = jnp.expm1(1.0 + (safe_ess - 1.0) * jnp.log1p(-1.0 / safe_ess))
     mcse_sd = sd * jnp.sqrt(jnp.maximum(fac, 0.0))
     return Summary(
         names=param_names, mean=mean, sd=sd, mcse_mean=mcse_mean,
@@ -244,11 +249,13 @@ def _summary_impl(sample: jax.Array, q_levels: tuple):
     mean = jnp.mean(pm, axis=1)
     sd = jnp.std(pm, axis=1, ddof=1)
     qs = jnp.quantile(pm, jnp.asarray(q_levels), axis=1)  # [Q, P]
-    # split-ESS of x^2 for the sd's MCSE
-    splitted = _splitcat(sample * sample)
-    within, var = _withinvar(splitted)
-    ess_sq = _ess(splitted, within, var)
-    return mean, sd, qs, ess_sq
+    # split-ESS of raw x and of x^2 for the sd's MCSE
+    ess = []
+    for cube in (sample, sample * sample):
+        splitted = _splitcat(cube)
+        within, var = _withinvar(splitted)
+        ess.append(_ess(splitted, within, var))
+    return mean, sd, qs, ess[0], ess[1]
 
 
 def rank_normalized_diagnostics(

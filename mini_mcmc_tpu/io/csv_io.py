@@ -7,9 +7,9 @@ Float cubes route through the native C++ writer (``native/
 mcmc_native.cpp``, ~20x the pure-Python row loop on multi-million-row
 cubes — the IO layer the reference implements natively in Rust) when the
 library builds; the pure-Python path is the fallback and the integer-cube
-path. Both write values with shortest-round-trip formatting, so parsing
-either file recovers identical doubles (the exact TEXT can differ in
-exponent style between the two writers).
+path. Both write values with shortest-round-trip formatting and LF line
+endings, so parsing either file recovers identical doubles (the exact
+float TEXT can differ in exponent style between the two writers).
 """
 
 from __future__ import annotations
@@ -34,6 +34,12 @@ def save_csv(data, filename: str, *, native: bool | str = "auto") -> None:
     arr = np.asarray(data)
     if arr.ndim != 3:
         raise ValueError(f"expected [chains, observations, dims], got {arr.shape}")
+    if native is True and arr.dtype.kind != "f":
+        raise ValueError(
+            "native=True requires a float cube (the C++ writer formats "
+            f"doubles); got dtype {arr.dtype} — integer cubes always use "
+            "the Python writer"
+        )
     if native and arr.dtype.kind == "f":
         try:
             from ..native import save_csv_cube
@@ -46,8 +52,11 @@ def save_csv(data, filename: str, *, native: bool | str = "auto") -> None:
             else:
                 raise
     n_chains, n_obs, n_dims = arr.shape
+    # LF line endings, matching the native writer byte-for-byte (csv's
+    # default is CRLF, which would make the output depend on whether the
+    # native library built).
     with open(filename, "w", newline="") as f:
-        writer = csv.writer(f)
+        writer = csv.writer(f, lineterminator="\n")
         writer.writerow(
             ["chain", "observation"] + [f"dim_{i}" for i in range(n_dims)]
         )

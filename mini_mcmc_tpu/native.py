@@ -34,8 +34,11 @@ def load(rebuild: bool = False) -> ctypes.CDLL:
     global _lib
     if _lib is not None and not rebuild:
         return _lib
-    if rebuild or not os.path.exists(_SO_PATH):
-        _build()
+    # Always invoke make: it is mtime-aware (a no-op when the .so is
+    # current) and rebuilds a STALE .so left by an older checkout —
+    # otherwise binding a newly added symbol below would raise
+    # AttributeError and silently disable all native functionality.
+    _build()
     lib = ctypes.CDLL(_SO_PATH)
     f32p = ctypes.POINTER(ctypes.c_float)
     lib.mcmc_autocov_bf.argtypes = [f32p, ctypes.c_int64, ctypes.c_int64, f32p]

@@ -159,11 +159,13 @@ int mcmc_save_csv_f64(const double* data, int64_t c, int64_t n, int64_t d,
                       const char* path) {
   std::FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
-  // ~1 MiB staging buffer, flushed when the headroom for one row
-  // (2 integers + d doubles at <= 32 chars each) runs out.
-  std::vector<char> buf(1 << 20);
-  size_t pos = 0;
+  // Staging buffer, flushed when the headroom for one row (2 integers +
+  // d doubles at <= 32 chars each) runs out; sized so that one full row
+  // (and the header, which is shorter) ALWAYS fits even for huge d.
   const size_t row_max = 32 * (static_cast<size_t>(d) + 2);
+  std::vector<char> buf(row_max * 2 > (1u << 20) ? row_max * 2
+                                                 : (1u << 20));
+  size_t pos = 0;
   auto flush = [&]() -> bool {
     bool ok = std::fwrite(buf.data(), 1, pos, f) == pos;
     pos = 0;

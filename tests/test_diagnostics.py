@@ -175,3 +175,15 @@ def test_summary_mcse_shrinks_with_more_draws():
     big = summary(jax.random.normal(key, (4, 4000, 1)))
     assert float(big.mcse_mean[0]) < 0.4 * float(small.mcse_mean[0])
     assert float(big.mcse_sd[0]) < 0.4 * float(small.mcse_sd[0])
+
+
+def test_summary_mcse_sd_finite_on_pathological_chains():
+    # Near-deterministic ramps give a split-ESS of x (and x^2) near or
+    # below 1; the mcse_sd factor must clamp, not propagate NaN.
+    from mini_mcmc_tpu import summary
+
+    t = jnp.arange(64, dtype=jnp.float32)
+    cube = jnp.stack([t, t + 0.01])[:, :, None]  # [2, 64, 1] ramps
+    s = summary(cube)
+    assert np.isfinite(float(s.mcse_sd[0])), float(s.mcse_sd[0])
+    assert float(s.mcse_sd[0]) > 0.0

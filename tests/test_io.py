@@ -173,3 +173,36 @@ def test_csv_native_failure_raises_or_falls_back():
     # raises its own (file) error — nothing silently succeeds
     with pytest.raises(OSError):
         save_csv(cube, bad, native="auto")
+
+
+def test_csv_both_writers_use_lf_and_wide_cube_ok():
+    import tempfile
+
+    from mini_mcmc_tpu.io.csv_io import save_csv
+    from mini_mcmc_tpu.native import available
+
+    cube = np.random.default_rng(3).standard_normal((2, 3, 2))
+    with tempfile.TemporaryDirectory() as d:
+        save_csv(cube, d + "/p.csv", native=False)
+        raw = open(d + "/p.csv", "rb").read()
+        assert b"\r\n" not in raw  # LF only, byte-stable across writers
+        if available():
+            save_csv(cube, d + "/n.csv", native=True)
+            raw_n = open(d + "/n.csv", "rb").read()
+            assert b"\r\n" not in raw_n
+            # a very wide row (one formatted row > the 1 MiB base buffer)
+            # must not overflow the native writer's staging buffer
+            wide = np.random.default_rng(4).standard_normal((1, 1, 50000))
+            save_csv(wide, d + "/w.csv", native=True)
+            vals = np.genfromtxt(d + "/w.csv", delimiter=",",
+                                 skip_header=1)
+            np.testing.assert_array_equal(vals[2:], wide[0, 0])
+
+
+def test_csv_native_true_rejects_integer_cube():
+    import pytest
+
+    from mini_mcmc_tpu.io.csv_io import save_csv
+
+    with pytest.raises(ValueError, match="float cube"):
+        save_csv(np.zeros((1, 2, 2), np.int32), "/tmp/x.csv", native=True)
