@@ -43,6 +43,7 @@ from .samplers import (
     ParallelTempering,
     SliceSampler,
 )
+from .stream import StreamResult, stream_run
 from .stats import (
     RunStats,
     basic_stats,
@@ -91,6 +92,8 @@ __all__ = [
     "save_checkpoint",
     "split_rhat_mean_ess",
     "stats",
+    "StreamResult",
+    "stream_run",
     "Summary",
     "summary",
     "utils",

@@ -18,13 +18,17 @@ except Exception:  # pragma: no cover - environment without pyarrow
     _HAVE_PYARROW = False
 
 
-def _cube_to_table(arr: np.ndarray, leading=("chain", "observation")):
+def _cube_to_table(arr: np.ndarray, leading=("chain", "observation"),
+                   major_offset: int = 0):
     """``[n0, n1, n_dims]`` cube -> the reference export table: two uint32
     index columns named ``leading`` (major axis first) + float64 ``dim_*``
     columns. The single copy of the schema shared by the Arrow AND Parquet
-    exporters (parity target: io/arrow.rs:53-117, io/parquet.rs:49-221)."""
+    exporters (parity target: io/arrow.rs:53-117, io/parquet.rs:49-221).
+    ``major_offset`` shifts the major index (streaming appends)."""
     n0, n1, n_dims = arr.shape
-    major_idx = np.repeat(np.arange(n0, dtype=np.uint32), n1)
+    major_idx = np.repeat(
+        np.arange(major_offset, major_offset + n0, dtype=np.uint32), n1
+    )
     minor_idx = np.tile(np.arange(n1, dtype=np.uint32), n0)
     flat = arr.reshape(n0 * n1, n_dims).astype(np.float64)
     fields = [

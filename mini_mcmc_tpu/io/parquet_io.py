@@ -47,3 +47,53 @@ def save_parquet_tensor(tensor, filename: str) -> None:
     pq.write_table(
         _cube_to_table(arr, leading=("observation", "chain")), filename
     )
+
+
+class ParquetStreamWriter:
+    """Append-as-you-sample Parquet sink for streamed runs.
+
+    Writes the observation-major tensor schema (``observation, chain,
+    dim_*``) chunk by chunk: feeding time-major chunks in order produces
+    a file row-for-row IDENTICAL to :func:`save_parquet_tensor` of the
+    full concatenated cube — without the full cube ever existing. Use as
+    the ``on_chunk`` consumer of :func:`mini_mcmc_tpu.stream_run`:
+
+        with ParquetStreamWriter(path) as w:
+            stream_run(sampler, 1_000_000, 10_000, on_chunk=w.append)
+
+    Context-manager or explicit :meth:`close`; the file is finalized on
+    close (a crashed stream leaves an unreadable file, like any Parquet
+    writer).
+    """
+
+    def __init__(self, filename: str):
+        _require_pyarrow()
+        self._filename = filename
+        self._writer = None
+
+    def append(self, chunk, start_observation: int) -> None:
+        """Append a time-major ``[k, n_chains, n_dims]`` chunk whose
+        first row is global observation ``start_observation``."""
+        from .arrow_io import _cube_to_table
+
+        arr = np.asarray(chunk)
+        if arr.ndim != 3:
+            raise ValueError(
+                f"expected [observations, chains, dims], got {arr.shape}"
+            )
+        table = _cube_to_table(arr, leading=("observation", "chain"),
+                               major_offset=int(start_observation))
+        if self._writer is None:
+            self._writer = pq.ParquetWriter(self._filename, table.schema)
+        self._writer.write_table(table)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+
+    def __enter__(self) -> "ParquetStreamWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
