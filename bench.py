@@ -529,7 +529,7 @@ def bench_extras() -> dict:
     return out
 
 
-def bench_beyond() -> dict:
+def bench_beyond(out: dict | None = None) -> dict:
     """The beyond-reference samplers (no reference counterpart), quality-
     gated like every other config so their README numbers are backed by
     the driver artifact instead of hand-recorded (VERDICT r2 weak #4
@@ -539,7 +539,11 @@ def bench_beyond() -> dict:
     coordinate slice sampler on the ensemble's target, elliptical slice
     on a 64-point latent-GP posterior gated against the ANALYTIC
     conjugate posterior, and the AIS/SMC evidence estimators gated
-    against analytic log Z."""
+    against analytic log Z.
+
+    ``out`` (optional) is filled stage by stage, so the caller keeps the
+    stages that PASSED when a later stage's gate raises — main() records
+    the failure in the artifact instead of losing the whole run."""
     import numpy as np
 
     from mini_mcmc_tpu import (
@@ -551,7 +555,7 @@ def bench_beyond() -> dict:
     )
     from mini_mcmc_tpu.models import Target, gaussian2d
 
-    out = {}
+    out = {} if out is None else out
 
     # Ensemble: 1,024 independent ensembles x 64 walkers in one batch.
     c, n, w = 65536, 2048, 64
@@ -833,7 +837,18 @@ def main(extra: bool = False):
     detail["mh_gauss2d_65k"] = _staged("mh_gauss2d", bench_mh_gauss2d)
     detail["gibbs_mixture_65k"] = _staged("gibbs", bench_gibbs)
     detail.update(_staged("extras", bench_extras))
-    detail.update(_staged("beyond", bench_beyond))
+    # Beyond-reference stages: a gate failure here is recorded in the
+    # artifact (loudly, with the failed stage's gate message) instead of
+    # destroying the whole run — the headline metric and every
+    # reference-config stage above stay strict.
+    beyond: dict = {}
+    try:
+        _staged("beyond", lambda: bench_beyond(beyond))
+    except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+        beyond["beyond_gate_failed"] = f"{type(e).__name__}: {e}"
+        print(f"[bench] beyond stage FAILED: {e}", file=sys.stderr,
+              flush=True)
+    detail.update(beyond)
     result = {
         "metric": "effective_samples_per_sec_per_chip",
         "value": ess_per_sec,
