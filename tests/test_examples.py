@@ -35,6 +35,7 @@ def _run_example(name):
         "bimodal_tempering",
         "ais_log_z",
         "gp_robust_regression",
+        "streaming_production_run",
     ],
 )
 def test_example(name):
