@@ -161,6 +161,14 @@ class NUTS:
         return self.state.positions.shape[1]
 
     @property
+    def step_size(self) -> jax.Array:
+        """Per-chain leapfrog step size ``[C]``: the dual-averaging
+        ``epsilon`` during adaptation, frozen to ``epsilon_bar`` after
+        (nuts.rs:676-691). ``-1.0`` sentinel before the first run
+        ("auto": set by ``find_reasonable_epsilon``)."""
+        return self.state.epsilon
+
+    @property
     def divergences(self) -> jax.Array:
         """Per-chain count of divergent transitions, cumulative over every
         ``run`` since construction (the reference only uses divergence to

@@ -85,9 +85,22 @@ def stream_run(sampler, n_total: int, chunk_size: int, on_chunk=None,
             f"chunk_size={chunk_size} and n_discard={n_discard} must be "
             f"multiples of the sampler's fused block size {block}"
         )
+    # NUTS: run its prepare pass (step-size search + adaptation schedule)
+    # once up front, and stream through its SIMPLE runner — the
+    # initial-recording convention would re-record the then-current
+    # position as row 0 of every chunk, duplicating draws at chunk
+    # boundaries. The streamed output therefore differs from NUTS.run by
+    # exactly the initial-position row (same as run_progress's chunked
+    # path, nuts.py run_progress).
+    prepare = getattr(sampler, "_prepare_fn", None)
+    if prepare is not None:
+        sampler.state = prepare(
+            sampler.state, sampler._next_key(), n_discard=n_discard
+        )
+    runner = getattr(sampler, "_simple_runner", None) or sampler._runner
     tracker = stats_mod.tracker_init(sampler.n_chains, sampler.dim)
     for i in range(n_total // chunk_size):
-        sampler.state, chunk, tracker = sampler._runner(
+        sampler.state, chunk, tracker = runner(
             sampler.state,
             sampler._next_key(),
             chunk_size,

@@ -130,3 +130,28 @@ def test_stream_with_block_kernel():
     assert res.n_collected == 128
     flat = np.concatenate(seen, axis=0).reshape(-1, 2)
     np.testing.assert_allclose(flat.mean(axis=0), [0.0, 0.0], atol=0.3)
+
+
+def test_stream_nuts_adapts_and_samples():
+    # NUTS needs its prepare pass (step-size search + dual-averaging
+    # schedule) before streaming, and streams through the simple runner
+    # (no duplicated boundary rows).
+    from mini_mcmc_tpu import NUTS
+    from mini_mcmc_tpu.models import diffable_gaussian2d
+
+    nuts = NUTS(
+        diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]]),
+        init_with_seed(8, 2, seed=3),
+    ).seed(4)
+    seen = []
+    res = stream_run(nuts, 512, 128,
+                     on_chunk=lambda c, s: seen.append(np.asarray(c)),
+                     n_discard=128)
+    cat = np.concatenate(seen, axis=0)
+    # no duplicated rows at chunk boundaries
+    for k in range(1, len(seen)):
+        assert not np.array_equal(seen[k][0], seen[k - 1][-1])
+    flat = cat.reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.4)
+    assert res.n_collected == 512
+    assert float(jnp.min(nuts.step_size)) > 0.0  # adaptation ran
