@@ -845,6 +845,10 @@ def main(extra: bool = False):
     try:
         _staged("beyond", lambda: bench_beyond(beyond))
     except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+        if "UNAVAILABLE" in str(e) or "device error" in str(e):
+            # transient tunnel outage: let the __main__ 90-s retry
+            # handle it instead of publishing a degraded artifact
+            raise
         beyond["beyond_gate_failed"] = f"{type(e).__name__}: {e}"
         print(f"[bench] beyond stage FAILED: {e}", file=sys.stderr,
               flush=True)

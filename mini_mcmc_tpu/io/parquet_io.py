@@ -66,20 +66,33 @@ class ParquetStreamWriter:
     writer).
     """
 
-    def __init__(self, filename: str):
+    def __init__(self, filename: str, n_chains: int | None = None):
         _require_pyarrow()
         self._filename = filename
         self._writer = None
+        self._n_chains = n_chains
 
     def append(self, chunk, start_observation: int) -> None:
-        """Append a time-major ``[k, n_chains, n_dims]`` chunk whose
-        first row is global observation ``start_observation``."""
+        """Append a TIME-MAJOR ``[k, n_chains, n_dims]`` chunk whose
+        first row is global observation ``start_observation`` (pair with
+        ``stream_run(..., time_major=True)``, the default — a chain-major
+        chunk would silently transpose the observation/chain columns).
+        The first chunk pins ``n_chains``; pass ``n_chains`` to the
+        constructor to validate the very first chunk's orientation too."""
         from .arrow_io import _cube_to_table
 
         arr = np.asarray(chunk)
         if arr.ndim != 3:
             raise ValueError(
                 f"expected [observations, chains, dims], got {arr.shape}"
+            )
+        if self._n_chains is None:
+            self._n_chains = arr.shape[1]
+        elif arr.shape[1] != self._n_chains:
+            raise ValueError(
+                f"chunk has {arr.shape[1]} chains on axis 1, expected "
+                f"{self._n_chains} — chunks must be TIME-major [k, C, D] "
+                "(stream_run's time_major=True, the default)"
             )
         table = _cube_to_table(arr, leading=("observation", "chain"),
                                major_offset=int(start_observation))

@@ -86,30 +86,44 @@ def stream_run(sampler, n_total: int, chunk_size: int, on_chunk=None,
             f"multiples of the sampler's fused block size {block}"
         )
     # NUTS: run its prepare pass (step-size search + adaptation schedule)
-    # once up front, and stream through its SIMPLE runner — the
+    # once up front, snapshot divergences so last_run_divergences covers
+    # the stream, and stream through its SIMPLE runner — the
     # initial-recording convention would re-record the then-current
     # position as row 0 of every chunk, duplicating draws at chunk
-    # boundaries. The streamed output therefore differs from NUTS.run by
-    # exactly the initial-position row (same as run_progress's chunked
-    # path, nuts.py run_progress).
+    # boundaries. Like run_progress's chunked path (nuts.py), the simple
+    # runner then takes n_discard - 1 warmup steps (the NUTS convention
+    # is n_collect + n_discard - 1 total steps).
+    snapshot = getattr(sampler, "_snapshot_divergences", None)
+    if snapshot is not None:
+        snapshot()
+    first_discard = n_discard
     prepare = getattr(sampler, "_prepare_fn", None)
     if prepare is not None:
         sampler.state = prepare(
             sampler.state, sampler._next_key(), n_discard=n_discard
         )
+        first_discard = max(0, n_discard - 1)
     runner = getattr(sampler, "_simple_runner", None) or sampler._runner
     tracker = stats_mod.tracker_init(sampler.n_chains, sampler.dim)
+    # One-chunk pipeline: dispatch chunk i (async under JAX), then hand
+    # chunk i-1 to the consumer while the device computes — disk writes
+    # overlap device time; peak host memory stays at ~two chunks.
+    pending = None
     for i in range(n_total // chunk_size):
         sampler.state, chunk, tracker = runner(
             sampler.state,
             sampler._next_key(),
             chunk_size,
-            n_discard if i == 0 else 0,
+            first_discard if i == 0 else 0,
             tracker=tracker,
             time_major=time_major,
         )
         if on_chunk is not None:
-            on_chunk(chunk, i * chunk_size)
+            if pending is not None:
+                on_chunk(*pending)
+            pending = (chunk, i * chunk_size)
+    if pending is not None:
+        on_chunk(*pending)
     return StreamResult(
         n_collected=n_total,
         p_accept=stats_mod.tracker_stats(tracker).p_accept,

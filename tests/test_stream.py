@@ -77,9 +77,14 @@ def test_stream_continues_chains_and_moments():
     flat = np.concatenate(seen, axis=0).reshape(-1, 2)
     np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.25)
     # chunks are contiguous chain trajectories: the first row of chunk
-    # k+1 must differ from the last row of chunk k in at most the step's
-    # proposal (i.e. the state carried over; no reset to the init point)
-    assert not np.allclose(seen[1][0], seen[0][0])
+    # k+1 is ONE MH step from the last row of chunk k, so the chains
+    # whose boundary proposal was rejected are bit-identical across the
+    # boundary — a state reset between chunks would make that fraction 0
+    frac_carried = np.mean(
+        np.all(seen[1][0] == seen[0][-1], axis=-1)
+    )
+    assert frac_carried > 0.05, frac_carried
+    assert frac_carried < 1.0  # and the accepted chains did move
 
 
 def test_stream_determinism_same_seed():
@@ -155,3 +160,33 @@ def test_stream_nuts_adapts_and_samples():
     np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.4)
     assert res.n_collected == 512
     assert float(jnp.min(nuts.step_size)) > 0.0  # adaptation ran
+
+
+def test_parquet_writer_rejects_wrong_orientation():
+    with tempfile.TemporaryDirectory() as d:
+        w = ParquetStreamWriter(d + "/x.parquet", n_chains=8)
+        with pytest.raises(ValueError, match="TIME-major"):
+            w.append(np.zeros((8, 32, 2)), 0)  # chain-major [C, k, D]
+        w.append(np.zeros((32, 8, 2)), 0)  # correct time-major
+        # chain-count drift across chunks is also caught without the ctor
+        w2 = ParquetStreamWriter(d + "/y.parquet")
+        w2.append(np.zeros((16, 8, 2)), 0)
+        with pytest.raises(ValueError, match="TIME-major"):
+            w2.append(np.zeros((8, 16, 2)), 16)
+        w.close(), w2.close()
+
+
+def test_stream_nuts_divergence_accounting():
+    from mini_mcmc_tpu import NUTS
+    from mini_mcmc_tpu.models import diffable_gaussian2d
+
+    nuts = NUTS(
+        diffable_gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]]),
+        init_with_seed(4, 2, seed=5),
+    ).seed(6)
+    stream_run(nuts, 64, 32, n_discard=32)
+    # the stream counts as "the last run": the per-run delta is defined
+    # (snapshot taken) and has the per-chain shape
+    d = np.asarray(nuts.last_run_divergences)
+    assert d.shape == (4,)
+    assert np.all(d >= 0)
