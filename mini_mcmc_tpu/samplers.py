@@ -470,8 +470,12 @@ class SliceSampler(_KernelSampler):
     masked ``lax.while_loop``s over the whole batch (``ops/slice.py``).
 
     ``width``: initial bracket width, scalar or per-coordinate ``[D]`` —
-    the target's marginal scale is a good choice. Initial positions must
-    lie inside the support (``logp > -inf``).
+    the target's marginal scale is a good choice — or ``"auto"``: the
+    per-coordinate cross-chain std of ``initial_positions`` (the lockstep
+    ensemble snapshot, like ``estimate_preconditioner``; coordinates
+    whose ensemble spread is degenerate fall back to 1). Any positive
+    width is exact; a bad one only costs bracket iterations. Initial
+    positions must lie inside the support (``logp > -inf``).
 
     Example:
         >>> from mini_mcmc_tpu import SliceSampler, init_det
@@ -486,6 +490,13 @@ class SliceSampler(_KernelSampler):
                  max_stepouts: int = 8, max_shrink: int = 32,
                  seed: Optional[int] = None, steps_per_call: int = 1):
         self.target = target
+        if isinstance(width, str):
+            if width != "auto":
+                raise ValueError(
+                    f'width must be positive or "auto", got {width!r}'
+                )
+            spread = jnp.std(jnp.asarray(initial_positions), axis=0)
+            width = jnp.where(spread > 1e-6, spread, 1.0)
         self.width = width
         init_fn, step_fn = slice_kernel(
             target, width=width, max_stepouts=max_stepouts,

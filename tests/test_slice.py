@@ -175,3 +175,23 @@ def test_run_progress_smoke():
     sample, stats = ss.run_progress(64, 16, stream=stream)
     assert sample.shape == (8, 64, 2)
     assert len(stream.getvalue()) > 0
+
+
+def test_width_auto_from_ensemble():
+    # width="auto" takes per-coordinate cross-chain stds of the initial
+    # ensemble; degenerate coordinates fall back to 1. Moments must match
+    # on an anisotropic target when the ensemble is spread accordingly.
+    target = gaussian2d([0.0, 0.0], [[0.04, 0.0], [0.0, 25.0]])
+    init = init_with_seed(64, 2, seed=8) * jnp.array([0.2, 5.0])
+    ss = SliceSampler(target, init, width="auto").seed(9)
+    w = np.asarray(ss.width)
+    assert 0.1 < w[0] < 0.4 and 2.5 < w[1] < 8.0, w
+    flat = np.asarray(ss.run(1200, 150)).reshape(-1, 2)
+    np.testing.assert_allclose(flat.var(axis=0), [0.04, 25.0], rtol=0.15)
+
+    # degenerate ensemble (all chains identical): falls back to width 1
+    ss2 = SliceSampler(target, jnp.zeros((8, 2)), width="auto")
+    np.testing.assert_allclose(np.asarray(ss2.width), [1.0, 1.0])
+
+    with pytest.raises(ValueError, match='"auto"'):
+        SliceSampler(target, init, width="automatic")
