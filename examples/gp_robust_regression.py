@@ -18,7 +18,6 @@ shrugs them off. RMSE against the true latent function, side by side.
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from mini_mcmc_tpu import (
     EllipticalSliceSampler,
