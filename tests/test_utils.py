@@ -39,3 +39,27 @@ def test_lgamma_lanczos_accuracy():
     assert float(jnp.max(jnp.where(z <= 200.0, abs_err, 0.0))) < 3e-4
     rel = abs_err / jnp.maximum(jnp.abs(exact), 1.0)
     assert float(jnp.max(jnp.where(z > 20.0, rel, 0.0))) < 1e-5
+
+
+def test_chain_keys_independent_and_deterministic():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mini_mcmc_tpu import chain_keys
+
+    keys = chain_keys(jax.random.PRNGKey(7), 16)
+    assert keys.shape[0] == 16
+    # deterministic
+    keys2 = chain_keys(jax.random.PRNGKey(7), 16)
+    np.testing.assert_array_equal(np.asarray(keys), np.asarray(keys2))
+    # all distinct, and the draws they produce are uncorrelated
+    raw = np.asarray(jax.vmap(jax.random.key_data)(keys)) if hasattr(
+        jax.random, "key_data") else np.asarray(keys)
+    assert len({tuple(r.ravel().tolist()) for r in raw}) == 16
+    draws = np.asarray(
+        jax.vmap(lambda k: jax.random.normal(k, (256,)))(keys)
+    )
+    corr = np.corrcoef(draws)
+    off = corr[~np.eye(16, dtype=bool)]
+    assert np.max(np.abs(off)) < 0.25, np.max(np.abs(off))
