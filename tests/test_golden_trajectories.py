@@ -58,3 +58,30 @@ def test_gibbs_golden():
     got = np.asarray(g.run(2, 1))
     want = np.array([[[-3.2347629070281982, 0.0], [-2.8789219856262207, 0.0]], [[-1.420780062675476, 0.0], [-0.2402639389038086, 1.0]]])
     np.testing.assert_allclose(got, want, **TOL)
+
+
+def test_slice_golden():
+    from mini_mcmc_tpu import SliceSampler
+
+    ss = SliceSampler(
+        gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]]), init_det(2, 2)
+    ).seed(42)
+    got = np.asarray(ss.run(3, 2))
+    # recorded under the suite environment (x64 enabled: gaussian2d's
+    # constants promote the slice-height comparison to f64, which is part
+    # of the pinned behavior)
+    want = np.array([[[0.47531795501708984, -0.5002284049987793], [1.5510098934173584, -0.3776308298110962], [0.2821296453475952, -0.6769263744354248]], [[-0.3397722542285919, -0.07031664252281189], [-0.24810613691806793, 0.5296776294708252], [-1.9839239120483398, -0.21355533599853516]]])
+    np.testing.assert_allclose(got, want, **TOL)
+
+
+def test_elliptical_golden():
+    import jax.numpy as jnp
+
+    from mini_mcmc_tpu import EllipticalSliceSampler
+    from mini_mcmc_tpu.models import Target
+
+    lik = Target(logp=lambda x: -0.5 * jnp.sum((x - 1.0) ** 2))
+    es = EllipticalSliceSampler(lik, init_det(2, 2), prior_scale=2.0).seed(42)
+    got = np.asarray(es.run(3, 2))
+    want = np.array([[[1.0734288692474365, -0.7239532470703125], [-0.6502382159233093, 2.2215375900268555], [-0.5258798003196716, 2.0356640815734863]], [[0.08533897995948792, 1.828615665435791], [1.5698307752609253, 1.4083133935928345], [0.3501565754413605, 0.9250963926315308]]])
+    np.testing.assert_allclose(got, want, **TOL)
