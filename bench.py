@@ -863,8 +863,41 @@ def main(extra: bool = False):
     print(json.dumps(result))
 
 
+def _backend_preflight(timeout_s: float = 240.0) -> str | None:
+    """Probe backend reachability in a subprocess with a hard timeout.
+
+    During tunnel outages the accelerator plugin BLOCKS FOREVER in
+    backend init (CLAUDE.md) — a bench invoked then would hang instead
+    of reporting. Returns None when a backend is up, else a description.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return f"backend init blocked > {timeout_s:.0f}s (tunnel outage?)"
+    if proc.returncode != 0:
+        return f"backend init failed: {proc.stderr[-300:]}"
+    return None
+
+
 if __name__ == "__main__":
     extra = "--extra" in sys.argv[1:]
+    outage = _backend_preflight()
+    if outage is not None:
+        # Emit an explicit zero-valued artifact instead of hanging: the
+        # driver records ONE JSON line either way, and an honest error
+        # marker beats a timeout with no output.
+        print(json.dumps({
+            "metric": "effective_samples_per_sec_per_chip",
+            "value": 0.0, "unit": "ESS/s", "vs_baseline": 0.0,
+            "error": f"no backend reachable: {outage}",
+        }))
+        sys.exit(1)
     # The tunneled TPU occasionally throws a transient
     # "UNAVAILABLE: TPU device error"; one retry after a cooldown rescues
     # the run. Anything else propagates immediately.
