@@ -36,6 +36,7 @@ from .ops.tempering import geometric_betas, tune_betas
 from .runner import make_initial_recording_runner, make_simple_runner
 from .samplers import (
     HMC,
+    MALA,
     EllipticalSliceSampler,
     EnsembleSampler,
     GibbsSampler,
@@ -57,6 +58,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "HMC",
+    "MALA",
     "NUTS",
     "EllipticalSliceSampler",
     "EnsembleSampler",

@@ -1,6 +1,7 @@
 """Step kernels: one pure ``(init_fn, step_fn)`` pair per algorithm,
 plus the population estimators (AIS/SMC) built from the same algebra."""
 
+from .adapt import dual_average_step_size
 from .ais import AISResult, ais_log_z, linear_betas, make_anneal, resample
 from .elliptical import EllipticalState, elliptical_kernel
 from .ensemble import EnsembleState, ensemble_kernel
@@ -22,6 +23,7 @@ __all__ = [
     "SMCResult",
     "SliceState",
     "ais_log_z",
+    "dual_average_step_size",
     "elliptical_kernel",
     "ensemble_kernel",
     "geometric_betas",

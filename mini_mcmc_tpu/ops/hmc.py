@@ -195,6 +195,35 @@ def hmc_kernel(
         grad = jnp.where(accept[:, None], grad_prop, state.grad)
         return HMCState(positions=positions, logp=logp, grad=grad)
 
+    def step_eps(state: HMCState, key: jax.Array, eps: jax.Array):
+        """One XLA HMC step at a TRACED step size, also returning the
+        cross-chain mean Metropolis acceptance probability (NaN-divergent
+        proposals count as 0) — the hook ``ops/adapt.py``'s dual-averaging
+        warmup drives. Same key-splitting order as ``step_fn`` (jitter
+        excluded: the tuner owns the step size)."""
+        n_chains = state.positions.shape[0]
+        key_mom, key_u = jax.random.split(key)
+        mom0 = jax.random.normal(
+            key_mom, state.positions.shape, state.positions.dtype
+        )
+        h_current = -state.logp + 0.5 * jnp.sum(mom0 * mom0, axis=1)
+        pos_prop, mom_prop, logp_prop, grad_prop = leapfrog(
+            state.positions, mom0, state.logp, state.grad,
+            jnp.asarray(eps, state.positions.dtype),
+        )
+        h_proposed = -logp_prop + 0.5 * jnp.sum(mom_prop * mom_prop, axis=1)
+        accept_logp = h_current - h_proposed
+        alpha_c = jnp.exp(jnp.minimum(accept_logp, 0.0))
+        alpha = jnp.mean(jnp.where(jnp.isnan(alpha_c), 0.0, alpha_c))
+        u = jax.random.uniform(key_u, (n_chains,), accept_logp.dtype)
+        accept = accept_logp >= jnp.log(u)  # NaN compares False
+        positions = jnp.where(accept[:, None], pos_prop, state.positions)
+        logp = jnp.where(accept, logp_prop, state.logp)
+        grad = jnp.where(accept[:, None], grad_prop, state.grad)
+        return HMCState(positions, logp, grad), alpha
+
+    step_fn.step_eps = step_eps
+
     if steps_per_call > 1:
         k = steps_per_call
 

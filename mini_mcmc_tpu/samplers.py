@@ -246,6 +246,49 @@ class HMC(_KernelSampler):
         super().__init__(init_fn, step_fn, initial_positions, seed,
                          positions_map=positions_map)
 
+    #: dual-averaging default: the optimal acceptance rate for fixed-L HMC
+    #: (Beskos et al. 2013); MALA overrides with its 0.574 optimum.
+    _default_target_accept = 0.651
+
+    @classmethod
+    def _construct(cls, target, positions, metric, seed, ctor):
+        """Rebuild hook for :meth:`tuned`/:meth:`reconditioned` — subclasses
+        with narrower signatures (MALA) filter ``ctor`` here."""
+        return cls(target, positions, metric=metric, seed=seed, **ctor)
+
+    def tuned(self, n_adapt: int = 500, *, target_accept=None,
+              seed=None) -> "HMC":
+        """New sampler continuing from the warmed-up positions at a step
+        size adapted by dual averaging (``ops/adapt.py`` — Hoffman &
+        Gelman Alg. 6 with the reference's NUTS constants, here applied to
+        the fixed-trajectory kernels the reference never adapts). Runs
+        ``n_adapt`` adaptation steps from the current state, then freezes
+        ``exp(log_eps_bar)``. ``target_accept`` defaults to the
+        algorithm's optimum (0.651 for HMC, 0.574 for MALA). Without
+        ``seed`` the new sampler's key derives from this sampler's stream,
+        so a fully seeded workflow stays reproducible end-to-end."""
+        from .ops.adapt import dual_average_step_size
+
+        if target_accept is None:
+            target_accept = self._default_target_accept
+        state, eps, _ = dual_average_step_size(
+            self._step_fn.step_eps, self.state, self._next_key(), n_adapt,
+            self._ctor["step_size"], target_accept,
+        )
+        # state.positions are in KERNEL coordinates (whitened when a
+        # metric is set); the constructor expects x-space and re-whitens.
+        positions = (
+            state.positions if self.metric is None
+            else self.metric.to_x(state.positions)
+        )
+        ctor = dict(self._ctor)
+        ctor["step_size"] = eps
+        new = type(self)._construct(self.target, positions, self.metric,
+                                    seed, ctor)
+        if seed is None:
+            new._key = self._next_key()
+        return new
+
     def reconditioned(self, kind: str = "diag", *, seed=None,
                       step_size=None, n_leapfrog=None) -> "HMC":
         """New HMC continuing from the current positions, whitened by a
@@ -277,11 +320,61 @@ class HMC(_KernelSampler):
         )
         if n_leapfrog is not None:
             ctor["n_leapfrog"] = n_leapfrog
-        new = HMC(self.target, self.positions, metric=pre, seed=seed,
-                  **ctor)
+        new = type(self)._construct(self.target, self.positions, pre, seed,
+                                    ctor)
         if seed is None:
             new._key = self._next_key()
         return new
+
+
+class MALA(HMC):
+    """Metropolis-adjusted Langevin algorithm — beyond-reference, the
+    one-gradient-per-step member of the gradient family.
+
+    Proposal ``x' = x + (eps^2 / 2) * grad_logp(x) + eps * xi`` with
+    ``xi ~ N(0, I)``, accepted with the exact asymmetric-proposal
+    Metropolis correction. Implemented as single-leapfrog HMC, which is
+    ALGEBRAICALLY IDENTICAL (substituting one leapfrog step into the
+    Hamiltonian accept ratio reproduces the MALA ratio term for term, with
+    the momentum Gaussian supplying the forward/reverse q densities), so
+    the cached-gradient state, the fused Pallas paths, ``metric=``
+    whitening, and checkpointing all carry over from ``ops/hmc.py``
+    unchanged. ``step_size`` IS the proposal std ``eps`` (i.e. the
+    classic MALA time step ``tau = eps^2 / 2``).
+
+    Use :meth:`tuned` to dual-average the step size toward the MALA
+    optimum acceptance 0.574 (Roberts & Rosenthal 1998); prefer plain
+    :class:`HMC` when the target is smooth enough for long trajectories
+    (MALA trades trajectory length for per-step cost — it wins when
+    gradients are expensive or the chain count, not the step count, is
+    the scaling axis).
+
+    Example:
+        >>> from mini_mcmc_tpu import MALA, init_det
+        >>> from mini_mcmc_tpu.models import gaussian2d
+        >>> target = gaussian2d([0., 0.], [[1., 0.], [0., 1.]])
+        >>> mala = MALA(target, init_det(4, 2), step_size=1.0).seed(42)
+        >>> mala.run(1000, 100).shape
+        (4, 1000, 2)
+    """
+
+    _default_target_accept = 0.574
+
+    def __init__(self, target: Target, initial_positions, step_size: float,
+                 seed: Optional[int] = None, use_pallas: bool = False,
+                 pallas_interpret: bool = False, steps_per_call: int = 1,
+                 metric=None):
+        super().__init__(target, initial_positions, step_size,
+                         n_leapfrog=1, seed=seed, unroll=1,
+                         use_pallas=use_pallas,
+                         pallas_interpret=pallas_interpret,
+                         steps_per_call=steps_per_call, metric=metric)
+
+    @classmethod
+    def _construct(cls, target, positions, metric, seed, ctor):
+        ctor = {k: v for k, v in ctor.items()
+                if k not in ("n_leapfrog", "unroll", "jitter")}
+        return cls(target, positions, metric=metric, seed=seed, **ctor)
 
 
 class EnsembleSampler(_KernelSampler):
