@@ -1,5 +1,5 @@
-"""Cross-sampler agreement: MH, HMC, NUTS, coordinate slice and
-elliptical slice all sample the same correlated Gaussian; their estimated
+"""Cross-sampler agreement: MH, HMC, MALA (via tuned()), NUTS, coordinate
+slice and elliptical slice all sample the same correlated Gaussian; their estimated
 means, covariances and tail quantiles must agree with each other and with
 the analytic values. A bug in any one kernel's accept rule, integrator,
 tree bookkeeping, or bracket construction shows up as a systematic
@@ -12,6 +12,7 @@ from scipy.stats import norm
 
 from mini_mcmc_tpu import (
     HMC,
+    MALA,
     NUTS,
     EllipticalSliceSampler,
     MetropolisHastings,
@@ -38,6 +39,9 @@ def _run_all():
         gaussian2d(MEAN, COV), isotropic_gaussian_proposal(1.5), init_det(8, 2)
     ).seed(1)
     hmc = HMC(diffable_gaussian2d(MEAN, COV), init_det(8, 2), 0.3, 15).seed(2)
+    # MALA at a dual-averaged step size (the tuned() workflow end-to-end)
+    mala = MALA(diffable_gaussian2d(MEAN, COV), init_det(8, 2),
+                step_size=2.0).seed(6).tuned(300)
     nuts = NUTS(diffable_gaussian2d(MEAN, COV), init_det(8, 2), 0.8).seed(3)
     sl = SliceSampler(gaussian2d(MEAN, COV), init_det(8, 2)).seed(4)
     # elliptical: the target IS the prior (flat likelihood), sampled
@@ -51,6 +55,7 @@ def _run_all():
     return {
         "mh": _flat(mh.run(4000, 1000)),
         "hmc": _flat(hmc.run(2500, 500)),
+        "mala": _flat(mala.run(4000, 1000)),
         "nuts": _flat(nuts.run(1500, 500)),
         "slice": _flat(sl.run(2500, 500)),
         "elliptical": _flat(ell.run(2500, 500)),

@@ -40,6 +40,14 @@ assert sh.dtype == jnp.float64, sh.dtype
 rhat, ess = mm.split_rhat_mean_ess(sh)
 assert np.all(np.isfinite(np.asarray(rhat)))
 
+# MALA + the dual-averaging tuner: the adaptation scan must carry f64
+# scalars when the state is f64 (ops/adapt.py dtype handling)
+ml = mm.MALA(rosenbrock_nd(), jnp.asarray(mm.init_det(4, 3), jnp.float64),
+             step_size=0.5).seed(4).tuned(100)
+sm = ml.run(200, 50)
+assert sm.dtype == jnp.float64, sm.dtype
+assert np.isfinite(float(jnp.mean(sm)))
+
 ss = mm.SliceSampler(t, jnp.asarray(mm.init_det(4, 2), jnp.float64)).seed(2)
 s2 = ss.run(300, 50)
 assert s2.dtype == jnp.float64, s2.dtype
