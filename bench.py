@@ -557,6 +557,50 @@ def bench_beyond(out: dict | None = None) -> dict:
 
     out = {} if out is None else out
 
+    # MALA at a dual-averaged step size (ops/adapt.py): the tuned()
+    # workflow at flagship chain count on the NUTS band target, fused
+    # single-leapfrog Pallas kernel when on TPU. Gates: moments, R-hat,
+    # ESS floor, and the tuner landing at a sane step size.
+    from mini_mcmc_tpu import MALA
+    from mini_mcmc_tpu.ops.pallas import pallas_available
+
+    cm, nm = 65536, 2048
+    mala_target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    ml = MALA(
+        mala_target, init_with_seed(cm, 2, seed=13), step_size=1.0,
+        use_pallas="full" if pallas_available() else False,
+        steps_per_call=16,
+    ).seed(13).tuned(256)
+    eps_tuned = float(ml._ctor["step_size"])
+    _sync(ml.run(nm, 0, time_major=True))  # burn + compile
+    sample, elapsed = _timed_best(
+        lambda: _sync(ml.run(nm, 0, time_major=True)))
+    rhat, ess = split_rhat_mean_ess(sample, time_major=True)
+    ess_mean = float(jnp.mean(ess))
+    rhat_mean = float(jnp.mean(rhat))
+    mean = jnp.mean(sample, axis=(0, 1))
+    var = jnp.var(sample, axis=(0, 1))
+    _gate("mala tuned eps sane", 0.2 <= eps_tuned <= 5.0, eps_tuned)
+    _gate("mala rhat", 0.95 <= rhat_mean <= 1.05, rhat_mean)
+    _gate("mala ess floor", ess_mean >= 0.005 * cm * nm,
+          (ess_mean, cm * nm))
+    for d, (m_true, v_true) in enumerate(((0.0, 4.0), (1.0, 3.0))):
+        _gate(f"mala mean[{d}]",
+              abs(float(mean[d]) - m_true) <= 0.05, float(mean[d]))
+        _gate(f"mala var[{d}]",
+              abs(float(var[d]) - v_true) <= 0.3, float(var[d]))
+    out["mala_tuned_65k"] = {
+        "config": f"Gaussian2D([0,1],[[4,2],[2,3]]) MALA, {cm} chains, "
+        f"{nm}+{nm} draws, dual-averaged eps (256 adapt steps)"
+        + (", fused Pallas K=16" if pallas_available() else ", XLA K=16"),
+        "elapsed_s": elapsed,
+        "draws_per_sec": cm * nm / elapsed,
+        "ess_per_sec": ess_mean / elapsed,
+        "eps_tuned": eps_tuned,
+        "rhat_mean": rhat_mean,
+        "quality_gate": "passed",
+    }
+
     # Ensemble: 1,024 independent ensembles x 64 walkers in one batch.
     c, n, w = 65536, 2048, 64
     target = gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])

@@ -289,6 +289,26 @@ class HMC(_KernelSampler):
             new._key = self._next_key()
         return new
 
+    def warmed_up(self, n_adapt: int = 300, kind: str = "diag", *,
+                  target_accept=None, seed=None) -> "HMC":
+        """The full warmup workflow in one call — the lockstep analog of
+        Stan's windowed adaptation, composed from the two primitives:
+
+        1. :meth:`tuned` (``n_adapt`` steps): dual-average the step size at
+           the CURRENT metric, which also equilibrates the ensemble;
+        2. :meth:`reconditioned` (``kind``): estimate a metric from the
+           equilibrated cross-chain ensemble and whiten;
+        3. :meth:`tuned` again (``n_adapt`` steps): re-tune the step size
+           in the whitened coordinates, where the optimum is different.
+
+        Returns a new sampler (same class) ready for production ``run()``
+        calls. Total adaptation cost: ``2 * n_adapt`` sampler steps plus
+        one covariance snapshot. Without ``seed`` the key chain derives
+        from this sampler's stream end-to-end."""
+        rough = self.tuned(n_adapt)
+        pre = rough.reconditioned(kind)
+        return pre.tuned(n_adapt, target_accept=target_accept, seed=seed)
+
     def reconditioned(self, kind: str = "diag", *, seed=None,
                       step_size=None, n_leapfrog=None) -> "HMC":
         """New HMC continuing from the current positions, whitened by a

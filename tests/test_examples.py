@@ -36,6 +36,7 @@ def _run_example(name):
         "ais_log_z",
         "gp_robust_regression",
         "streaming_production_run",
+        "sharded_chains",
     ],
 )
 def test_example(name):

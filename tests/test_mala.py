@@ -132,6 +132,28 @@ def test_tuned_with_metric_round_trip():
         flat.var(axis=0))
 
 
+def test_warmed_up_full_workflow():
+    # tuned -> reconditioned -> tuned on a badly scaled correlated
+    # Gaussian: the composed warmup must land a whitened sampler whose
+    # acceptance sits at the target and whose draws match the moments.
+    cov = np.array([[25.0, 4.0], [4.0, 1.0]])
+    target = diffable_gaussian2d([0.0, 0.0], cov)
+    mala = MALA(target, init_det(128, 2), step_size=1.0).seed(21)
+    ready = mala.warmed_up(300)
+    assert isinstance(ready, MALA)
+    assert ready.metric is not None
+    _, alphas = _acceptance_trace(ready, n_steps=200, seed=22)
+    assert abs(float(alphas.mean()) - 0.574) < 0.10, float(alphas.mean())
+    sample = ready.run(2000, 200)
+    flat = np.asarray(sample).reshape(-1, 2)
+    assert np.max(np.abs(np.cov(flat.T) - cov) / np.abs(cov).max()) < 0.1, (
+        np.cov(flat.T))
+    # end-to-end reproducibility of the composed workflow
+    again = (MALA(target, init_det(128, 2), step_size=1.0)
+             .seed(21).warmed_up(300))
+    assert again._ctor["step_size"] == ready._ctor["step_size"]
+
+
 def test_dual_average_validates_n_adapt():
     target = standard_normal()
     init_fn, step_fn = hmc_kernel(target, 0.5, 1)
