@@ -206,6 +206,28 @@ def test_slice_ess_quality_band():
     assert np.all(mean_ess < 820.0), mean_ess
 
 
+def test_mala_ess_quality_band():
+    # Same tier for MALA at a fixed near-optimal step size (eps = 2.2,
+    # the dual-averaged value from the 65k-chain bench config) on the
+    # reference band target: calibrated rep-mean 579/680 per dim of 3000
+    # total draws (~19-23% per-draw efficiency — gradients buy ~6x over
+    # tuned isotropic MH's ~3%).
+    from mini_mcmc_tpu import MALA
+
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    reps = []
+    for rep in range(20):
+        init = jnp.asarray(
+            np.random.default_rng(rep).standard_normal((3, 2)), jnp.float32
+        )
+        ml = MALA(target, init, step_size=2.2).seed(rep)
+        _, ess = split_rhat_mean_ess(ml.run(1000, 100))
+        reps.append(np.asarray(ess))
+    mean_ess = np.stack(reps).mean(axis=0)
+    assert np.all(mean_ess > 450.0), mean_ess
+    assert np.all(mean_ess < 820.0), mean_ess
+
+
 def test_elliptical_ess_quality_band():
     # Same tier for elliptical slice on a conjugate Gaussian posterior
     # (prior std 2, unit-noise likelihood at 1): calibrated rep-mean

