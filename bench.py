@@ -571,7 +571,7 @@ def bench_beyond(out: dict | None = None) -> dict:
         use_pallas="full" if pallas_available() else False,
         steps_per_call=16,
     ).seed(13).tuned(256)
-    eps_tuned = float(ml._ctor["step_size"])
+    eps_tuned = float(ml.step_size)
     _sync(ml.run(nm, 0, time_major=True))  # burn + compile
     sample, elapsed = _timed_best(
         lambda: _sync(ml.run(nm, 0, time_major=True)))

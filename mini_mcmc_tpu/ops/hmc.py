@@ -146,10 +146,42 @@ def hmc_kernel(
         )
         return pos, mom, logp, grad
 
-    def step_fn(state: HMCState, key: jax.Array) -> HMCState:
+    def step_eps(state: HMCState, key: jax.Array, eps: jax.Array):
+        """One non-fused HMC step at a (possibly traced) step size, also
+        returning the cross-chain mean Metropolis acceptance probability
+        (NaN-divergent proposals count as 0) — the hook ``ops/adapt.py``'s
+        dual-averaging warmup drives. This IS the production step body:
+        ``step_fn`` delegates here (alpha is dead code under jit when
+        unused), so the tuner adapts exactly the kernel that runs."""
         n_chains = state.positions.shape[0]
-        dtype = state.positions.dtype
         key_mom, key_u = jax.random.split(key)
+        eps = jnp.asarray(eps, state.positions.dtype)
+        mom0 = jax.random.normal(
+            key_mom, state.positions.shape, state.positions.dtype
+        )
+        h_current = -state.logp + 0.5 * jnp.sum(mom0 * mom0, axis=1)
+        if pallas_traj is not None:
+            pos_prop, mom_prop, logp_prop, grad_prop = pallas_traj(
+                state.positions, mom0, state.grad, eps
+            )
+        else:
+            pos_prop, mom_prop, logp_prop, grad_prop = leapfrog(
+                state.positions, mom0, state.logp, state.grad, eps
+            )
+        h_proposed = -logp_prop + 0.5 * jnp.sum(mom_prop * mom_prop, axis=1)
+        # Accept iff H_cur - H_prop >= ln(u) per chain (hmc.rs:343-376).
+        accept_logp = h_current - h_proposed
+        alpha_c = jnp.exp(jnp.minimum(accept_logp, 0.0))
+        alpha = jnp.mean(jnp.where(jnp.isnan(alpha_c), 0.0, alpha_c))
+        u = jax.random.uniform(key_u, (n_chains,), accept_logp.dtype)
+        accept = accept_logp >= jnp.log(u)  # NaN compares False
+        positions = jnp.where(accept[:, None], pos_prop, state.positions)
+        logp = jnp.where(accept, logp_prop, state.logp)
+        grad = jnp.where(accept[:, None], grad_prop, state.grad)
+        return HMCState(positions, logp, grad), alpha
+
+    def step_fn(state: HMCState, key: jax.Array) -> HMCState:
+        dtype = state.positions.dtype
         if jitter > 0.0:
             key_eps = jax.random.fold_in(key, 2)
             factor = 1.0 + jitter * (
@@ -168,59 +200,8 @@ def hmc_kernel(
             )
             return HMCState(positions=positions, logp=logp, grad=grad)
 
-        mom0 = jax.random.normal(
-            key_mom, state.positions.shape, state.positions.dtype
-        )
-        ke_current = 0.5 * jnp.sum(mom0 * mom0, axis=1)
-        h_current = -state.logp + ke_current
-
-        if pallas_traj is not None:
-            pos_prop, mom_prop, logp_prop, grad_prop = pallas_traj(
-                state.positions, mom0, state.grad, eps
-            )
-        else:
-            pos_prop, mom_prop, logp_prop, grad_prop = leapfrog(
-                state.positions, mom0, state.logp, state.grad, eps
-            )
-        ke_proposed = 0.5 * jnp.sum(mom_prop * mom_prop, axis=1)
-        h_proposed = -logp_prop + ke_proposed
-
-        # Accept iff H_cur - H_prop >= ln(u) per chain (hmc.rs:343-376).
-        accept_logp = h_current - h_proposed
-        u = jax.random.uniform(key_u, (n_chains,), accept_logp.dtype)
-        accept = accept_logp >= jnp.log(u)
-
-        positions = jnp.where(accept[:, None], pos_prop, state.positions)
-        logp = jnp.where(accept, logp_prop, state.logp)
-        grad = jnp.where(accept[:, None], grad_prop, state.grad)
-        return HMCState(positions=positions, logp=logp, grad=grad)
-
-    def step_eps(state: HMCState, key: jax.Array, eps: jax.Array):
-        """One XLA HMC step at a TRACED step size, also returning the
-        cross-chain mean Metropolis acceptance probability (NaN-divergent
-        proposals count as 0) — the hook ``ops/adapt.py``'s dual-averaging
-        warmup drives. Same key-splitting order as ``step_fn`` (jitter
-        excluded: the tuner owns the step size)."""
-        n_chains = state.positions.shape[0]
-        key_mom, key_u = jax.random.split(key)
-        mom0 = jax.random.normal(
-            key_mom, state.positions.shape, state.positions.dtype
-        )
-        h_current = -state.logp + 0.5 * jnp.sum(mom0 * mom0, axis=1)
-        pos_prop, mom_prop, logp_prop, grad_prop = leapfrog(
-            state.positions, mom0, state.logp, state.grad,
-            jnp.asarray(eps, state.positions.dtype),
-        )
-        h_proposed = -logp_prop + 0.5 * jnp.sum(mom_prop * mom_prop, axis=1)
-        accept_logp = h_current - h_proposed
-        alpha_c = jnp.exp(jnp.minimum(accept_logp, 0.0))
-        alpha = jnp.mean(jnp.where(jnp.isnan(alpha_c), 0.0, alpha_c))
-        u = jax.random.uniform(key_u, (n_chains,), accept_logp.dtype)
-        accept = accept_logp >= jnp.log(u)  # NaN compares False
-        positions = jnp.where(accept[:, None], pos_prop, state.positions)
-        logp = jnp.where(accept, logp_prop, state.logp)
-        grad = jnp.where(accept[:, None], grad_prop, state.grad)
-        return HMCState(positions, logp, grad), alpha
+        state, _ = step_eps(state, key, eps)
+        return state
 
     step_fn.step_eps = step_eps
 

@@ -303,9 +303,10 @@ class HMC(_KernelSampler):
 
         Returns a new sampler (same class) ready for production ``run()``
         calls. Total adaptation cost: ``2 * n_adapt`` sampler steps plus
-        one covariance snapshot. Without ``seed`` the key chain derives
-        from this sampler's stream end-to-end."""
-        rough = self.tuned(n_adapt)
+        one covariance snapshot. ``target_accept`` applies to BOTH tuning
+        legs. Without ``seed`` the key chain derives from this sampler's
+        stream end-to-end."""
+        rough = self.tuned(n_adapt, target_accept=target_accept)
         pre = rough.reconditioned(kind)
         return pre.tuned(n_adapt, target_accept=target_accept, seed=seed)
 
@@ -395,6 +396,16 @@ class MALA(HMC):
         ctor = {k: v for k, v in ctor.items()
                 if k not in ("n_leapfrog", "unroll", "jitter")}
         return cls(target, positions, metric=metric, seed=seed, **ctor)
+
+    def reconditioned(self, kind: str = "diag", *, seed=None,
+                      step_size=None, n_leapfrog=None) -> "MALA":
+        if n_leapfrog is not None:
+            raise ValueError(
+                "MALA has no trajectory length to override "
+                "(n_leapfrog is fixed at 1); use HMC for longer "
+                "trajectories"
+            )
+        return super().reconditioned(kind, seed=seed, step_size=step_size)
 
 
 class EnsembleSampler(_KernelSampler):

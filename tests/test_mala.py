@@ -76,7 +76,7 @@ def test_tuned_reaches_target_acceptance_hmc():
 def _acceptance_trace(sampler, n_steps: int, seed: int):
     """Mean-acceptance trace at the sampler's OWN step size, via the
     step_eps hook (no adaptation — eps held fixed)."""
-    eps = sampler._ctor["step_size"]
+    eps = sampler.step_size
     step_eps = sampler._step_fn.step_eps
     key = jax.random.PRNGKey(seed)
 
@@ -96,7 +96,7 @@ def test_tuned_scales_with_target_stiffness():
     tight_target = diffable_gaussian2d([0.0, 0.0],
                                        [[0.01, 0.0], [0.0, 0.01]])
     tight = MALA(tight_target, init_det(128, 2) * 0.1, 1.0).seed(0).tuned(300)
-    ratio = loose._ctor["step_size"] / tight._ctor["step_size"]
+    ratio = loose.step_size / tight.step_size
     assert 5.0 < ratio < 20.0, ratio
 
 
@@ -112,7 +112,7 @@ def test_tuned_continues_from_adapted_state():
              .seed(9).tuned(300))
     np.testing.assert_array_equal(np.asarray(tuned.positions),
                                   np.asarray(again.positions))
-    assert tuned._ctor["step_size"] == again._ctor["step_size"]
+    assert tuned.step_size == again.step_size
     rs = run_stats(tuned.run(500, 100))
     assert 0.9 <= rs.rhat.mean <= 1.1, rs.rhat
 
@@ -151,7 +151,7 @@ def test_warmed_up_full_workflow():
     # end-to-end reproducibility of the composed workflow
     again = (MALA(target, init_det(128, 2), step_size=1.0)
              .seed(21).warmed_up(300))
-    assert again._ctor["step_size"] == ready._ctor["step_size"]
+    assert again.step_size == ready.step_size
 
 
 def test_dual_average_validates_n_adapt():

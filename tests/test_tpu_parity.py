@@ -500,8 +500,10 @@ def test_tpu_fused_kernels_recorded_digests(tpu_results):
     det = tpu_results["determinism"]
     recorded = _RECORDED_DIGESTS.get(det["device_kind"])
     if recorded is None:
-        pytest.skip(f"no recorded digests for {det['device_kind']!r}: "
-                    f"{ {k: det[k + '_digest'] for k in ('hmc', 'mala', 'mh', 'nuts', 'gibbs', 'pt')} }")
+        fresh = {k: det[k + "_digest"]
+                 for k in ("hmc", "mala", "mh", "nuts", "gibbs", "pt")}
+        pytest.skip(
+            f"no recorded digests for {det['device_kind']!r}: {fresh}")
     for k, want in recorded.items():
         assert det[f"{k}_digest"] == want, (k, det)
 
