@@ -102,6 +102,12 @@ class Proposal:
         symmetric: whether ``logp(a, b) == logp(b, a)`` for all a, b — the
             fused kernel requires this (it skips the q terms of the accept
             ratio, which cancel).
+        scaled: optional ``(factor) -> Proposal`` returning this proposal
+            with its length scale multiplied by ``factor`` (``factor`` may
+            be a traced scalar). Enables adaptive proposal-scale tuning
+            (``MetropolisHastings.tuned`` — beyond-reference; the
+            reference's proposal scale is fixed forever,
+            /root/reference/src/distributions.rs:344-396).
     """
 
     sample: Callable
@@ -109,6 +115,7 @@ class Proposal:
     sample_batch: Optional[Callable] = None
     propose_dc: Optional[Callable] = None
     symmetric: bool = False
+    scaled: Optional[Callable] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -164,7 +164,8 @@ def isotropic_gaussian_proposal(std) -> Proposal:
 
     # shape-generic: one key draws the whole [C, D] batch
     return Proposal(sample=sample, logp=logp, sample_batch=sample,
-                    propose_dc=propose_dc, symmetric=True)
+                    propose_dc=propose_dc, symmetric=True,
+                    scaled=lambda f: isotropic_gaussian_proposal(std * f))
 
 
 def gaussian_random_walk_proposal(scales) -> Proposal:
@@ -188,7 +189,10 @@ def gaussian_random_walk_proposal(scales) -> Proposal:
             - 0.5 * d * jnp.log(jnp.asarray(2.0 * math.pi, frm.dtype))
         )
 
-    return Proposal(sample=sample, logp=logp, sample_batch=sample)
+    return Proposal(
+        sample=sample, logp=logp, sample_batch=sample,
+        scaled=lambda f: gaussian_random_walk_proposal(scales * f),
+    )
 
 
 def isotropic_gaussian_target(std) -> Target:

@@ -196,11 +196,68 @@ class MetropolisHastings(_KernelSampler):
                  steps_per_call: int = 1, pallas_interpret: bool = False):
         self.target = target
         self.proposal = proposal
+        #: proposal scale factor vs. the originally constructed proposal
+        #: (1.0 unless this sampler came from :meth:`tuned`)
+        self.scale_factor = 1.0
+        self._ctor = dict(use_pallas=use_pallas,
+                          steps_per_call=steps_per_call,
+                          pallas_interpret=pallas_interpret)
         init_fn, step_fn = mh_kernel(target, proposal,
                                      use_pallas=use_pallas,
                                      steps_per_call=steps_per_call,
                                      pallas_interpret=pallas_interpret)
         super().__init__(init_fn, step_fn, initial_positions, seed)
+
+    #: random-walk optimal acceptance rate (Roberts, Gelman & Gilks 1997)
+    _default_target_accept = 0.234
+
+    def tuned(self, n_adapt: int = 500, *, target_accept=None,
+              seed=None) -> "MetropolisHastings":
+        """New sampler continuing from the warmed-up positions with the
+        proposal scale adapted by dual averaging (beyond-reference — the
+        reference's proposal scale is fixed forever; this reuses
+        ``ops/adapt.py``, the same Hoffman & Gelman Alg. 6 machinery that
+        tunes the HMC/MALA step size). Runs ``n_adapt`` adaptation steps
+        from the current state driving the cross-chain mean acceptance
+        toward ``target_accept`` (default 0.234, the random-walk optimum),
+        then freezes the averaged scale factor.
+
+        Requires a proposal built with a ``scaled`` family
+        (``isotropic_gaussian_proposal`` and
+        ``gaussian_random_walk_proposal`` provide one). The adapted factor
+        is exposed as ``scale_factor`` on the returned sampler. Without
+        ``seed`` the new sampler's key derives from this sampler's stream,
+        so a fully seeded workflow stays reproducible end-to-end."""
+        if self.proposal.scaled is None:
+            raise ValueError(
+                "tuned() needs a proposal with a `scaled` family "
+                "(Proposal.scaled); the built-in Gaussian random-walk "
+                "proposals provide one"
+            )
+        from .ops.adapt import dual_average_step_size
+        from .ops.mh import mh_step_alpha
+
+        if target_accept is None:
+            target_accept = self._default_target_accept
+        step_eps = mh_step_alpha(self.target, self.proposal.scaled)
+        state, factor, _ = dual_average_step_size(
+            step_eps, self.state, self._next_key(), n_adapt,
+            1.0, target_accept,
+        )
+        # float(): the factor enters the new proposal's closures as a
+        # Python scalar so the fused Pallas path sees a compile-time
+        # constant, not a captured device array.
+        factor = float(factor)
+        new = MetropolisHastings(
+            self.target, self.proposal.scaled(factor),
+            state.positions, seed=seed, **self._ctor,
+        )
+        # cumulative vs. the ORIGINAL proposal: self.proposal is already
+        # scaled by self.scale_factor when self came from tuned()
+        new.scale_factor = self.scale_factor * factor
+        if seed is None:
+            new._key = self._next_key()
+        return new
 
 
 class HMC(_KernelSampler):

@@ -141,3 +141,90 @@ def test_mh_per_chain_proposal_fallback():
     flat = np.asarray(mh.run(3000, 500)).reshape(-1, 2)
     assert np.all(np.abs(flat.mean(axis=0)) < 0.2), flat.mean(axis=0)
     assert np.max(np.abs(np.cov(flat.T) - np.eye(2))) < 0.3
+
+
+# -- adaptive proposal-scale tuning (beyond-reference) ----------------------
+
+
+def _move_rate(sample):
+    """Fraction of steps that changed the state (empirical acceptance)."""
+    s = np.asarray(sample)
+    return float(np.mean(np.any(s[:, 1:] != s[:, :-1], axis=-1)))
+
+
+def test_mh_tuned_shrinks_oversized_proposal():
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    mh = MetropolisHastings(
+        target, isotropic_gaussian_proposal(25.0), init_det(256, 2)
+    ).seed(7)
+    tuned = mh.tuned(400)
+    # a 25-sigma step on a unit Gaussian must shrink a lot
+    assert tuned.scale_factor < 0.2, tuned.scale_factor
+    rate = _move_rate(tuned.run(400, 50))
+    assert 0.15 <= rate <= 0.32, rate  # dual-averaged to ~0.234
+
+
+def test_mh_tuned_grows_undersized_proposal():
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    mh = MetropolisHastings(
+        target, isotropic_gaussian_proposal(0.01), init_det(256, 2)
+    ).seed(7)
+    tuned = mh.tuned(400)
+    assert tuned.scale_factor > 10.0, tuned.scale_factor
+    rate = _move_rate(tuned.run(400, 50))
+    assert 0.15 <= rate <= 0.32, rate
+
+
+def test_mh_tuned_seeded_is_deterministic():
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+
+    def factor():
+        mh = MetropolisHastings(
+            target, isotropic_gaussian_proposal(5.0), init_det(64, 2)
+        ).seed(11)
+        return mh.tuned(200).scale_factor
+
+    assert factor() == factor()
+
+
+def test_mh_tuned_requires_scaled_family():
+    import pytest
+
+    from mini_mcmc_tpu.models.base import Proposal
+
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    prop = isotropic_gaussian_proposal(1.0)
+    unscalable = Proposal(sample=prop.sample, logp=prop.logp,
+                          sample_batch=prop.sample_batch)
+    mh = MetropolisHastings(target, unscalable, init_det(8, 2)).seed(0)
+    with pytest.raises(ValueError, match="scaled"):
+        mh.tuned(10)
+
+
+def test_mh_tuned_cumulative_scale_factor():
+    # tuned() twice: the second factor should be ~1 (already tuned) and
+    # scale_factor tracks the cumulative product vs the ORIGINAL proposal
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    mh = MetropolisHastings(
+        target, isotropic_gaussian_proposal(25.0), init_det(256, 2)
+    ).seed(3)
+    once = mh.tuned(400)
+    twice = once.tuned(400)
+    second_leg = twice.scale_factor / once.scale_factor
+    assert 0.5 <= second_leg <= 2.0, (once.scale_factor, twice.scale_factor)
+    rate = _move_rate(twice.run(400, 50))
+    assert 0.15 <= rate <= 0.32, rate
+
+
+def test_mh_tuned_improves_ess_from_bad_scale():
+    from mini_mcmc_tpu import split_rhat_mean_ess
+
+    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    bad = MetropolisHastings(
+        target, isotropic_gaussian_proposal(25.0), init_det(64, 2)
+    ).seed(5)
+    tuned = bad.tuned(400)
+    _, ess_bad = split_rhat_mean_ess(bad.run(500, 100))
+    _, ess_tuned = split_rhat_mean_ess(tuned.run(500, 100))
+    assert float(jnp.mean(ess_tuned)) > 2.0 * float(jnp.mean(ess_bad)), (
+        ess_bad, ess_tuned)
