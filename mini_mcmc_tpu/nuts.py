@@ -118,6 +118,22 @@ class NUTS:
 
         self._simple_runner = make_simple_runner(step_fn, **runner_kw)
 
+    def warmed_up(self, n_adapt: int = 300, kind: str = "diag", *,
+                  seed=None) -> "NUTS":
+        """The full warmup workflow in one call (API-uniform with
+        ``HMC.warmed_up``/``MALA.warmed_up``): run ``n_adapt`` adaptation
+        steps (NUTS dual-averages its step size in-run, nuts.rs:676-691),
+        estimate a metric from the equilibrated cross-chain ensemble, and
+        return a whitened continuation. The new sampler re-runs
+        ``find_reasonable_epsilon`` + dual averaging in the whitened space
+        during its next ``run``'s discard phase, so follow with e.g.
+        ``run(n_collect, n_discard=100)``. Advances THIS sampler's chains
+        in place for the adaptation leg (the returned sampler continues
+        from the equilibrated positions). Without ``seed`` the key chain
+        derives from this sampler's stream end-to-end."""
+        self.run(0, n_adapt)
+        return self.reconditioned(kind, seed=seed)
+
     def reconditioned(self, kind: str = "diag", *, seed=None) -> "NUTS":
         """New NUTS continuing from the current positions, whitened by a
         metric estimated from the chain ensemble (one cross-chain

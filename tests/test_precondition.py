@@ -299,3 +299,20 @@ def test_metric_run_progress_is_x_space():
     sample, _ = hmc.run_progress(60, 20, stream=io.StringIO())
     flat = np.asarray(sample).reshape(-1, 2)
     assert flat[:, 0].std() > 1.2, flat[:, 0].std()
+
+
+def test_nuts_warmed_up_one_call_workflow():
+    # warmed_up = adapt in place + reconditioned: same endpoint as the
+    # manual two-call workflow, uniform with HMC/MALA's warmed_up API
+    target = diffable_gaussian2d([0.0, 1.0], COV)
+    nuts = NUTS(target, init_det(128, 2), 0.8).seed(8)
+    w = nuts.warmed_up(150, "diag", seed=9)
+    np.testing.assert_allclose(
+        np.asarray(w.metric.scale), [2.0, np.sqrt(3.0)], rtol=0.35
+    )
+    s = w.run(200, 100)
+    flat = np.asarray(s).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(axis=0), [0.0, 1.0], atol=0.2)
+    # the adaptation leg advanced the parent's chains in place
+    assert not np.allclose(np.asarray(nuts.positions),
+                           np.asarray(init_det(128, 2)))
