@@ -4,6 +4,7 @@ A from-scratch JAX/XLA/Pallas rebuild of the capability surface of
 ``mini-mcmc`` (Rust, reference at /root/reference): Metropolis-Hastings,
 Hamiltonian Monte Carlo, the No-U-Turn Sampler and Gibbs sampling over
 thousands of lockstep parallel chains — plus beyond-reference
+Langevin (``MALA``), ChEES trajectory-length-adapted HMC (``ChEESHMC``),
 affine-invariant ensemble (``EnsembleSampler``), coordinate slice
 (``SliceSampler``), elliptical slice (``EllipticalSliceSampler``) and
 replica-exchange (``ParallelTempering``) samplers
@@ -37,6 +38,7 @@ from .runner import make_initial_recording_runner, make_simple_runner
 from .samplers import (
     HMC,
     MALA,
+    ChEESHMC,
     EllipticalSliceSampler,
     EnsembleSampler,
     GibbsSampler,
@@ -60,6 +62,7 @@ __all__ = [
     "HMC",
     "MALA",
     "NUTS",
+    "ChEESHMC",
     "EllipticalSliceSampler",
     "EnsembleSampler",
     "GibbsSampler",

@@ -3,6 +3,7 @@ plus the population estimators (AIS/SMC) built from the same algebra."""
 
 from .adapt import dual_average_step_size
 from .ais import AISResult, ais_log_z, linear_betas, make_anneal, resample
+from .chees import chees_adapt, chees_hmc_kernel, halton_u
 from .elliptical import EllipticalState, elliptical_kernel
 from .ensemble import EnsembleState, ensemble_kernel
 from .gibbs import GibbsState, gibbs_kernel
@@ -23,7 +24,10 @@ __all__ = [
     "SMCResult",
     "SliceState",
     "ais_log_z",
+    "chees_adapt",
+    "chees_hmc_kernel",
     "dual_average_step_size",
+    "halton_u",
     "elliptical_kernel",
     "ensemble_kernel",
     "geometric_betas",

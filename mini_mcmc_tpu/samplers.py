@@ -465,6 +465,124 @@ class MALA(HMC):
         return super().reconditioned(kind, seed=seed, step_size=step_size)
 
 
+class ChEESHMC(_KernelSampler):
+    """Jittered-trajectory HMC with ChEES trajectory-length adaptation
+    (Hoffman, Radul & Sountsov 2021) — beyond-reference, the lockstep
+    alternative to NUTS built for exactly this framework's regime.
+
+    Where NUTS adapts the trajectory per chain with dynamic trees (paying
+    for masked lanes and tree bookkeeping on TPU), ChEES keeps every chain
+    on ONE shared jittered trajectory and adapts its LENGTH from a
+    cross-chain criterion — more chains make the adaptation better, and
+    after warmup the kernel is plain fixed-cost HMC with zero cross-chain
+    communication (``ops/chees.py``).
+
+    Workflow: construct with a rough ``step_size`` (the trajectory length
+    defaults to one leapfrog), call :meth:`warmed_up` to jointly adapt the
+    step size (dual averaging toward ``target_accept=0.651``) and the
+    trajectory length (Adam ascent on the ChEES criterion), then ``run()``.
+
+    ``metric``: optional :class:`~mini_mcmc_tpu.models.Preconditioner`,
+    the same whitening contract as :class:`HMC`.
+
+    Example:
+        >>> from mini_mcmc_tpu import ChEESHMC, init_det
+        >>> from mini_mcmc_tpu.models import gaussian2d
+        >>> target = gaussian2d([0., 0.], [[1., 0.], [0., 1.]])
+        >>> ch = ChEESHMC(target, init_det(64, 2), step_size=0.5, seed=42)
+        >>> ch = ch.warmed_up(200)
+        >>> ch.run(500, 100).shape
+        (64, 500, 2)
+    """
+
+    _default_target_accept = 0.651
+
+    def __init__(self, target: Target, initial_positions, step_size: float,
+                 traj_len: Optional[float] = None,
+                 max_leapfrog: int = 1024, seed: Optional[int] = None,
+                 metric=None):
+        from .ops.chees import chees_hmc_kernel
+
+        self.target = target
+        self.step_size = step_size
+        #: total integration time T; each step integrates for u*T with
+        #: u ~ U(0,1), i.e. mean trajectory T / (2 * step_size) leapfrogs.
+        self.traj_len = float(traj_len) if traj_len is not None else step_size
+        self.max_leapfrog = max_leapfrog
+        self.metric = metric
+        kernel_target, positions_map = target, None
+        if metric is not None:
+            from .models.precondition import precondition_target
+
+            kernel_target = precondition_target(target, metric)
+            positions_map = metric.to_x
+            initial_positions = metric.to_y(jnp.asarray(initial_positions))
+        self._kernel_target = kernel_target
+        init_fn, step_fn = chees_hmc_kernel(
+            kernel_target, step_size, self.traj_len, max_leapfrog,
+        )
+        super().__init__(init_fn, step_fn, initial_positions, seed,
+                         positions_map=positions_map)
+
+    def warmed_up(self, n_adapt: int = 500, *, target_accept=None,
+                  adam_lr: float = 0.025, seed=None) -> "ChEESHMC":
+        """New sampler continuing from the adapted positions with jointly
+        tuned ``step_size`` and ``traj_len`` (``ops/chees.py
+        chees_adapt``: one scan of ``n_adapt`` jittered steps — Halton
+        trajectory jitter, dual-averaged step size, Adam on the ChEES
+        criterion). The adaptation trace is exposed on the returned
+        sampler as ``warmup_trace`` (``alpha``/``traj_len``/``eps`` per
+        step). Without ``seed`` the new sampler's key derives from this
+        sampler's stream, so a fully seeded workflow stays reproducible
+        end-to-end."""
+        from .ops.chees import chees_adapt
+
+        if target_accept is None:
+            target_accept = self._default_target_accept
+        state, eps, traj_len, trace = chees_adapt(
+            self._kernel_target, self.state, self._next_key(), n_adapt,
+            self.step_size, self.traj_len, target_accept=target_accept,
+            adam_lr=adam_lr, max_leapfrog=self.max_leapfrog,
+        )
+        positions = (
+            state.positions if self.metric is None
+            else self.metric.to_x(state.positions)
+        )
+        new = ChEESHMC(self.target, positions, eps, traj_len,
+                       max_leapfrog=self.max_leapfrog, seed=seed,
+                       metric=self.metric)
+        new.warmup_trace = trace
+        if seed is None:
+            new._key = self._next_key()
+        return new
+
+    def reconditioned(self, kind: str = "diag", *, seed=None,
+                      step_size=None, traj_len=None) -> "ChEESHMC":
+        """New ChEESHMC continuing from the current positions, whitened by
+        an ensemble-estimated metric (the :meth:`HMC.reconditioned`
+        contract). Both the step size and the trajectory length move to
+        whitened units via ``sigma_min`` (undoing any previous metric
+        first); pass ``step_size``/``traj_len`` to override. A follow-up
+        :meth:`warmed_up` re-tunes both in the new coordinates."""
+        from .models.precondition import estimate_preconditioner
+
+        pre = estimate_preconditioner(self.positions, kind)
+        old_scale = (
+            self.metric.sigma_min() if self.metric is not None else 1.0
+        )
+        eps_x = self.step_size * old_scale
+        t_x = self.traj_len * old_scale
+        new = ChEESHMC(
+            self.target, self.positions,
+            step_size if step_size is not None else eps_x / pre.sigma_min(),
+            traj_len if traj_len is not None else t_x / pre.sigma_min(),
+            max_leapfrog=self.max_leapfrog, seed=seed, metric=pre,
+        )
+        if seed is None:
+            new._key = self._next_key()
+        return new
+
+
 class EnsembleSampler(_KernelSampler):
     """Affine-invariant ensemble sampler (Goodman & Weare 2010 stretch
     move, the ``emcee`` algorithm) — beyond-reference, gradient-free.
