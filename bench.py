@@ -34,7 +34,8 @@ quality gate, all folded into ``detail``. A ``roofline`` block estimates
 where the flagship kernel sits against the chip's HBM/MXU peaks (the
 workload is tiny-D and VPU/overhead-bound — the estimate documents WHY the
 right lever is per-step overhead, not bandwidth). The beyond-reference
-samplers (affine-invariant ensemble, replica-exchange tempering) are
+samplers (tuned MALA, ChEES-HMC, affine-invariant ensemble,
+replica-exchange tempering, slice, elliptical slice, AIS/SMC evidence) are
 measured and gated too, so their README numbers are artifact-backed.
 ``--extra`` is accepted for compatibility and adds nothing (everything is
 already in the default run).
@@ -597,6 +598,50 @@ def bench_beyond(out: dict | None = None) -> dict:
         "draws_per_sec": cm * nm / elapsed,
         "ess_per_sec": ess_mean / elapsed,
         "eps_tuned": eps_tuned,
+        "rhat_mean": rhat_mean,
+        "quality_gate": "passed",
+    }
+
+    # ChEES-HMC: jointly adapted (step size, trajectory length) from the
+    # cross-chain criterion (ops/chees.py), then jittered-trajectory
+    # production sampling — the lockstep NUTS alternative, on the NUTS
+    # band target. Gates: the trajectory actually grew, moments, R-hat,
+    # and an ESS floor far above the one-leapfrog samplers'.
+    from mini_mcmc_tpu import ChEESHMC
+
+    cc, nc = 65536, 2048
+    ch = ChEESHMC(
+        mala_target, init_with_seed(cc, 2, seed=17), step_size=0.5,
+    ).seed(17).warmed_up(256)
+    _sync(ch.run(nc, 0, time_major=True))  # burn + compile
+    sample, elapsed = _timed_best(
+        lambda: _sync(ch.run(nc, 0, time_major=True)))
+    rhat, ess = split_rhat_mean_ess(sample, time_major=True)
+    ess_mean = float(jnp.mean(ess))
+    ess_min = float(jnp.min(ess))
+    rhat_mean = float(jnp.mean(rhat))
+    mean = jnp.mean(sample, axis=(0, 1))
+    var = jnp.var(sample, axis=(0, 1))
+    _gate("chees traj grew", ch.traj_len > 2.0 * ch.step_size,
+          (ch.traj_len, ch.step_size))
+    _gate("chees rhat", 0.95 <= rhat_mean <= 1.05, rhat_mean)
+    _gate("chees ess floor", ess_min >= 0.02 * cc * nc,
+          (ess_min, cc * nc))
+    for d, (m_true, v_true) in enumerate(((0.0, 4.0), (1.0, 3.0))):
+        _gate(f"chees mean[{d}]",
+              abs(float(mean[d]) - m_true) <= 0.05, float(mean[d]))
+        _gate(f"chees var[{d}]",
+              abs(float(var[d]) - v_true) <= 0.3, float(var[d]))
+    out["chees_65k"] = {
+        "config": f"Gaussian2D([0,1],[[4,2],[2,3]]) ChEES-HMC, {cc} "
+        f"chains, {nc}+{nc} draws, jointly adapted eps+T (256 steps), "
+        "jittered dynamic trajectories, XLA",
+        "elapsed_s": elapsed,
+        "draws_per_sec": cc * nc / elapsed,
+        "ess_per_sec": ess_mean / elapsed,
+        "ess_min_per_sec": ess_min / elapsed,
+        "eps_tuned": float(ch.step_size),
+        "traj_len_tuned": float(ch.traj_len),
         "rhat_mean": rhat_mean,
         "quality_gate": "passed",
     }

@@ -32,6 +32,7 @@ def _run_example(name):
         "metric_nuts",
         "eight_schools_nuts",
         "ensemble_walkers",
+        "chees_trajectory_adaptation",
         "bimodal_tempering",
         "ais_log_z",
         "gp_robust_regression",
