@@ -6,8 +6,9 @@ Hamiltonian Monte Carlo, the No-U-Turn Sampler and Gibbs sampling over
 thousands of lockstep parallel chains — plus beyond-reference
 Langevin (``MALA``), ChEES trajectory-length-adapted HMC (``ChEESHMC``),
 affine-invariant ensemble (``EnsembleSampler``), coordinate slice
-(``SliceSampler``), elliptical slice (``EllipticalSliceSampler``) and
-replica-exchange (``ParallelTempering``) samplers
+(``SliceSampler``), elliptical slice (``EllipticalSliceSampler``),
+replica-exchange (``ParallelTempering``) and minibatch
+stochastic-gradient (``SGLD``/pSGLD, ``SGHMC``) samplers
 and normalizing-constant estimation (``ais_log_z``, adaptive
 ``smc_log_z``) — with streaming convergence
 diagnostics (acceptance EWMA, live R-hat), Stan-style split R-hat + ESS,
@@ -32,12 +33,15 @@ from .diagnostics import (
 )
 from .nuts import NUTS
 from .ops.ais import AISResult, ais_log_z, linear_betas, resample
+from .ops.sgmcmc import minibatch_grad, polynomial_decay, target_grad
 from .ops.smc import SMCResult, smc_log_z
 from .ops.tempering import geometric_betas, tune_betas
 from .runner import make_initial_recording_runner, make_simple_runner
 from .samplers import (
     HMC,
     MALA,
+    SGHMC,
+    SGLD,
     ChEESHMC,
     EllipticalSliceSampler,
     EnsembleSampler,
@@ -68,6 +72,8 @@ __all__ = [
     "GibbsSampler",
     "MetropolisHastings",
     "ParallelTempering",
+    "SGHMC",
+    "SGLD",
     "SliceSampler",
     "AISResult",
     "ais_log_z",
@@ -89,9 +95,11 @@ __all__ = [
     "ModernDiagnostics",
     "make_initial_recording_runner",
     "make_simple_runner",
+    "minibatch_grad",
     "models",
     "ops",
     "parallel",
+    "polynomial_decay",
     "rank_normalized_diagnostics",
     "run_stats",
     "save_checkpoint",
@@ -101,5 +109,6 @@ __all__ = [
     "stream_run",
     "Summary",
     "summary",
+    "target_grad",
     "utils",
 ]

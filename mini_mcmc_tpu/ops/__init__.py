@@ -9,6 +9,15 @@ from .ensemble import EnsembleState, ensemble_kernel
 from .gibbs import GibbsState, gibbs_kernel
 from .hmc import HMCState, hmc_kernel
 from .mh import MHState, mh_kernel
+from .sgmcmc import (
+    SGHMCState,
+    SGLDState,
+    minibatch_grad,
+    polynomial_decay,
+    sghmc_kernel,
+    sgld_kernel,
+    target_grad,
+)
 from .slice import SliceState, slice_kernel
 from .smc import SMCResult, make_smc_run, smc_log_z
 from .tempering import PTState, geometric_betas, tempering_kernel, tune_betas
@@ -21,6 +30,8 @@ __all__ = [
     "HMCState",
     "MHState",
     "PTState",
+    "SGHMCState",
+    "SGLDState",
     "SMCResult",
     "SliceState",
     "ais_log_z",
@@ -37,9 +48,14 @@ __all__ = [
     "make_anneal",
     "make_smc_run",
     "mh_kernel",
+    "minibatch_grad",
+    "polynomial_decay",
     "resample",
+    "sghmc_kernel",
+    "sgld_kernel",
     "slice_kernel",
     "smc_log_z",
+    "target_grad",
     "tempering_kernel",
     "tune_betas",
 ]

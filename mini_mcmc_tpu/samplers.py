@@ -826,3 +826,85 @@ class GibbsSampler(_KernelSampler):
                                         steps_per_call=steps_per_call,
                                         pallas_interpret=pallas_interpret)
         super().__init__(init_fn, step_fn, initial_positions, seed)
+
+
+class SGLD(_KernelSampler):
+    """Stochastic-gradient Langevin dynamics (Welling & Teh 2011), with
+    optional RMSProp preconditioning (pSGLD, Li et al. 2016) —
+    beyond-reference, the minibatch sampler for datasets too large for a
+    full-gradient step (``ops/sgmcmc.py``; the Rust reference's gradient
+    samplers all require exact gradients, /root/reference/src/hmc.rs:36).
+
+    ``grad_fn(positions [C, D], key) -> [C, D]`` supplies the stochastic
+    gradient — build it with :func:`~mini_mcmc_tpu.minibatch_grad` (data
+    subsampling, MXU-batched likelihood) or
+    :func:`~mini_mcmc_tpu.ops.sgmcmc.target_grad` (full-batch unadjusted
+    Langevin). ``step_size`` is a constant or an on-device schedule such as
+    :func:`~mini_mcmc_tpu.polynomial_decay`. There is no accept/reject:
+    bias is O(step_size), so anneal or keep it small; the tracker's
+    ``p(accept)`` reads 1.0 by construction.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> from mini_mcmc_tpu import SGLD, minibatch_grad, init_det
+        >>> data = jnp.linspace(-1., 1., 256)[:, None]  # [N, 1]
+        >>> grad_fn = minibatch_grad(
+        ...     lambda x: -0.5 * jnp.sum(x**2),              # prior
+        ...     lambda x, b: -0.5 * jnp.sum((b - x)**2),     # batch loglike
+        ...     data, batch_size=32)
+        >>> sgld = SGLD(grad_fn, init_det(8, 1), step_size=1e-3, seed=42)
+        >>> sgld.run(100, 100).shape
+        (8, 100, 1)
+    """
+
+    def __init__(self, grad_fn, initial_positions, step_size,
+                 seed: Optional[int] = None, temperature: float = 1.0,
+                 preconditioner: Optional[str] = None,
+                 rms_decay: float = 0.99, rms_eps: float = 1e-5,
+                 steps_per_call: int = 1):
+        from .ops.sgmcmc import sgld_kernel
+
+        self.grad_fn = grad_fn
+        self.step_size = step_size
+        init_fn, step_fn = sgld_kernel(
+            grad_fn, step_size, temperature=temperature,
+            preconditioner=preconditioner, rms_decay=rms_decay,
+            rms_eps=rms_eps, steps_per_call=steps_per_call,
+        )
+        super().__init__(init_fn, step_fn, initial_positions, seed)
+
+
+class SGHMC(_KernelSampler):
+    """Stochastic-gradient Hamiltonian Monte Carlo (Chen, Fox & Guestrin
+    2014) — beyond-reference, the friction-damped momentum variant of
+    :class:`SGLD` (``ops/sgmcmc.py``).
+
+    Same ``grad_fn``/``step_size`` contract as :class:`SGLD`; ``friction``
+    (alpha, in (0, 1]) must dominate the minibatch gradient-noise scale —
+    0.01..0.1 typical. Momenta start at zero; discard at least
+    ``~1/friction`` steps for them to equilibrate.
+
+    Example:
+        >>> from mini_mcmc_tpu import SGHMC, init_det
+        >>> from mini_mcmc_tpu.models import gaussian2d
+        >>> from mini_mcmc_tpu.ops.sgmcmc import target_grad
+        >>> target = gaussian2d([0., 0.], [[1., 0.], [0., 1.]])
+        >>> s = SGHMC(target_grad(target), init_det(8, 2),
+        ...           step_size=0.05, friction=0.1, seed=42)
+        >>> s.run(200, 100).shape
+        (8, 200, 2)
+    """
+
+    def __init__(self, grad_fn, initial_positions, step_size,
+                 seed: Optional[int] = None, friction: float = 0.1,
+                 temperature: float = 1.0, steps_per_call: int = 1):
+        from .ops.sgmcmc import sghmc_kernel
+
+        self.grad_fn = grad_fn
+        self.step_size = step_size
+        self.friction = friction
+        init_fn, step_fn = sghmc_kernel(
+            grad_fn, step_size, friction=friction, temperature=temperature,
+            steps_per_call=steps_per_call,
+        )
+        super().__init__(init_fn, step_fn, initial_positions, seed)
