@@ -38,6 +38,7 @@ def _run_example(name):
         "gp_robust_regression",
         "streaming_production_run",
         "sharded_chains",
+        "sgld_minibatch_logreg",
     ],
 )
 def test_example(name):
