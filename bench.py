@@ -900,6 +900,63 @@ def bench_beyond(out: dict | None = None) -> dict:
         "log_z_true": true_log_z,
         "quality_gate": "passed",
     }
+
+    # Minibatch SGLD (ops/sgmcmc.py) on a CONJUGATE Bayesian linear
+    # regression over 65,536 device-resident rows — the analytic
+    # posterior N((X'X/s^2 + I/tau^2)^-1 X'y/s^2, .) is the gate, so both
+    # estimator bias (a wrong N/B scale) and discretization bias (a step
+    # size that stopped decaying) fail loudly. Each step touches B=1024
+    # rows: one [B, D] @ [D, C] MXU contraction for all chains.
+    from mini_mcmc_tpu import SGLD, minibatch_grad, polynomial_decay
+
+    n_rows, d_lr, b_mb, c_lr, n_lr = 65536, 8, 1024, 4096, 2048
+    s_noise_lr, tau_lr = 0.5, 2.0
+    rng_lr = np.random.default_rng(0)
+    x_lr = rng_lr.standard_normal((n_rows, d_lr)).astype(np.float32)
+    x_lr /= np.sqrt(d_lr)
+    w_true = np.linspace(-1.0, 1.0, d_lr).astype(np.float32)
+    y_lr = (x_lr @ w_true
+            + s_noise_lr * rng_lr.standard_normal(n_rows)).astype(np.float32)
+    x64, y64_lr = x_lr.astype(np.float64), y_lr.astype(np.float64)
+    prec_lr = x64.T @ x64 / s_noise_lr**2 + np.eye(d_lr) / tau_lr**2
+    post_cov_lr = np.linalg.inv(prec_lr)
+    post_mean_lr = post_cov_lr @ (x64.T @ y64_lr) / s_noise_lr**2
+    post_sd_lr = np.sqrt(np.diag(post_cov_lr))
+
+    grad_fn = minibatch_grad(
+        lambda w: -0.5 * jnp.sum(w * w) / tau_lr**2,
+        lambda w, batch: -0.5 * jnp.sum(
+            (batch[1] - batch[0] @ w) ** 2) / s_noise_lr**2,
+        (jnp.asarray(x_lr), jnp.asarray(y_lr)), batch_size=b_mb,
+    )
+    sg = SGLD(
+        grad_fn, init_with_seed(c_lr, d_lr, seed=21),
+        step_size=polynomial_decay(2e-6, 50.0, 0.33),
+        seed=21, steps_per_call=16,
+    )
+    _sync(sg.run(n_lr, n_lr, time_major=True))  # burn into the
+    # posterior-typical set + compile; the timed run continues the chains
+    sample, elapsed = _timed_best(
+        lambda: _sync(sg.run(n_lr, 0, time_major=True)))
+    mean = np.asarray(jnp.mean(sample, axis=(0, 1)), np.float64)
+    var = np.asarray(jnp.var(sample, axis=(0, 1)), np.float64)
+    mean_err_sd = float(np.max(np.abs(mean - post_mean_lr) / post_sd_lr))
+    var_rel = float(np.max(np.abs(var / np.diag(post_cov_lr) - 1.0)))
+    _gate("sgld posterior mean", mean_err_sd <= 1.0, mean_err_sd)
+    _gate("sgld posterior var", var_rel <= 0.3, var_rel)
+    out["sgld_minibatch_65k_rows"] = {
+        "config": f"conjugate Bayesian linear regression, N={n_rows} "
+        f"rows, D={d_lr}, minibatch B={b_mb} "
+        f"({100.0 * b_mb / n_rows:.1f}% per step), {c_lr} chains, "
+        f"{n_lr}+{n_lr} steps, decaying eps, XLA K=16, "
+        "vs analytic posterior",
+        "elapsed_s": elapsed,
+        "draws_per_sec": c_lr * n_lr / elapsed,
+        "minibatch_rows_per_sec": b_mb * n_lr / elapsed,
+        "max_mean_err_posterior_sd": mean_err_sd,
+        "max_rel_var_err": var_rel,
+        "quality_gate": "passed",
+    }
     return out
 
 

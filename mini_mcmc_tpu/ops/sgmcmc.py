@@ -227,10 +227,13 @@ def sgld_kernel(
 
     def init_fn(positions: jax.Array) -> SGLDState:
         positions = jnp.asarray(positions)
+        # The unused sentinel is a SCALAR zero (not shape [0]): orbax
+        # refuses to serialize zero-size arrays, and checkpoints must
+        # round-trip every sampler state (checkpoint.py).
         sq_avg = (
             jnp.zeros_like(positions)
             if preconditioner == "rmsprop"
-            else jnp.zeros((0,), positions.dtype)
+            else jnp.zeros((), positions.dtype)
         )
         return SGLDState(
             positions=positions, sq_avg=sq_avg, step=jnp.int32(0)
@@ -239,7 +242,9 @@ def sgld_kernel(
     def step_fn(state: SGLDState, key: jax.Array) -> SGLDState:
         k_batch, k_noise = jax.random.split(key)
         x = state.positions
-        g = grad_fn(x, k_batch)
+        # Pin the carry dtype: a user grad_fn may promote (e.g. float64
+        # constants under jax_enable_x64) and a widened carry breaks scan.
+        g = grad_fn(x, k_batch).astype(x.dtype)
         eps = eps_of(state.step).astype(x.dtype)
         xi = jax.random.normal(k_noise, x.shape, x.dtype)
         if preconditioner == "rmsprop":
@@ -307,7 +312,7 @@ def sghmc_kernel(
     def step_fn(state: SGHMCState, key: jax.Array) -> SGHMCState:
         k_batch, k_noise = jax.random.split(key)
         x, v = state.positions, state.momenta
-        g = grad_fn(x, k_batch)
+        g = grad_fn(x, k_batch).astype(x.dtype)
         eps = eps_of(state.step).astype(x.dtype)
         xi = jax.random.normal(k_noise, x.shape, x.dtype)
         v = ((1.0 - friction) * v + eps * g

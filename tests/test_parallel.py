@@ -409,3 +409,41 @@ def test_sharded_slice_and_elliptical_scalar_reduce_only():
     a = np.asarray(make_ell().run(32, 8))
     b = np.asarray(es.run(32, 8))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_sgld_zero_collectives_and_determinism():
+    """SGLD's sampling scan over a sharded chains axis emits zero
+    collectives: positions shard over chains, the shared minibatch is one
+    device-local gather from the REPLICATED dataset (O(B) per step,
+    ops/sgmcmc.py), and nothing reduces across chains. Sharded and
+    unsharded runs are the same program over the same keys, so the cubes
+    match exactly."""
+    from mini_mcmc_tpu import SGLD, minibatch_grad, polynomial_decay
+
+    data = (
+        jnp.linspace(-1.0, 1.0, 512)[:, None] * jnp.ones((1, 3)),
+        jnp.linspace(0.0, 1.0, 512),
+    )
+    grad_fn = minibatch_grad(
+        lambda w: -0.5 * jnp.sum(w * w),
+        lambda w, b: -0.5 * jnp.sum((b[1] - b[0] @ w) ** 2),
+        data, batch_size=64,
+    )
+
+    def make():
+        return SGLD(grad_fn, init_det(64, 3),
+                    step_size=polynomial_decay(1e-3, 10.0, 0.55), seed=11)
+
+    sg = make()
+    mesh = chain_mesh()
+    sg.state = shard_sampler_state(mesh, sg.state)
+    hlo = sg._runner.lower(
+        sg.state, jax.random.PRNGKey(0), 32, 8,
+        tracker=None, time_major=False,
+    ).compile().as_text()
+    found = [op for op in _COLLECTIVE_OPS if op in hlo]
+    assert not found, f"SGLD sampling scan emitted collectives: {found}"
+
+    a = np.asarray(make().run(32, 8))
+    b = np.asarray(sg.run(32, 8))
+    np.testing.assert_array_equal(a, b)
