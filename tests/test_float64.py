@@ -60,6 +60,21 @@ es = mm.EllipticalSliceSampler(
 s3 = es.run(300, 50)
 assert s3.dtype == jnp.float64, s3.dtype
 assert abs(float(jnp.mean(s3)) - 0.5) < 0.25
+
+# SGLD/SGHMC: the carry dtype follows the f64 positions even though the
+# noise/schedule constants are written as f32-friendly literals
+from mini_mcmc_tpu.ops.sgmcmc import target_grad
+g = target_grad(t)
+sg = mm.SGLD(g, jnp.asarray(mm.init_det(4, 2), jnp.float64),
+             step_size=mm.polynomial_decay(5e-2, 10.0, 0.55)).seed(5)
+s4 = sg.run(300, 100)
+assert s4.dtype == jnp.float64, s4.dtype
+assert abs(float(jnp.mean(s4))) < 0.3
+sh2 = mm.SGHMC(g, jnp.asarray(mm.init_det(4, 2), jnp.float64),
+               step_size=0.05, friction=0.1).seed(6)
+s5 = sh2.run(300, 100)
+assert s5.dtype == jnp.float64, s5.dtype
+assert abs(float(jnp.mean(s5))) < 0.35
 print("OK")
 """
 

@@ -297,3 +297,23 @@ def test_sgld_checkpoint_roundtrip(tmp_path):
     resumed = s2.run(16, 0)
     np.testing.assert_array_equal(np.asarray(cont), np.asarray(resumed))
     assert int(s2.state.step) == 32
+
+
+def test_sgld_run_progress_reports_full_acceptance():
+    # run_progress works unchanged for the accept-free family; the
+    # tracker's "state changed" EWMA reads ~1.0 by construction (SGLD
+    # always moves), so live bars stay meaningful.
+    import io
+    import re
+
+    grad_fn = target_grad(standard_normal())
+    s = SGLD(grad_fn, init_det(4, 2), step_size=0.05, seed=7)
+    out = io.StringIO()
+    sample, stats = s.run_progress(64, 16, stream=out)
+    assert sample.shape == (4, 64, 2)
+    assert np.isfinite(stats.ess.mean) and stats.ess.mean > 0
+    rates = [float(v) for v in
+             re.findall(r"p\(accept\)≈(\d+\.\d+)", out.getvalue())]
+    # the global EWMA warms up from 0 (ALPHA=0.01), so early ticks read
+    # low; by the final render every bar sits near 1.0
+    assert len(rates) >= 5 and min(rates[-5:]) > 0.9, rates
