@@ -159,6 +159,126 @@ def minibatch_grad(
     return grad_fn
 
 
+def data_parallel_grad(
+    log_prior: Callable,
+    log_like: Callable,
+    data,
+    batch_size: int,
+    mesh,
+    *,
+    axis: Optional[str] = None,
+) -> Callable:
+    """Data-SHARDED stochastic gradient for SGMCMC over a device mesh.
+
+    :func:`minibatch_grad` keeps the dataset device-resident on one chip;
+    this is its multi-chip sibling for datasets that exceed a single
+    chip's HBM. Shards of ``data`` (split on the leading axis) live on
+    separate devices along a mesh axis; every step each device draws
+    ``batch_size / n_shards`` rows from its LOCAL shard, computes the
+    partial minibatch-likelihood gradient for the (replicated) ``[C, D]``
+    chain batch, and the partials reduce with ONE ``psum`` over ICI —
+    the single deliberate hot-loop collective in the framework (the
+    sampling kernels themselves are zero-communication by construction,
+    ``runner.py``; here the data cannot be local, so the reduction is
+    irreducible and is one ``[C, D]``-sized all-reduce per step).
+
+    The estimator is unbiased for equal-size shards: uniform draws within
+    each shard, ``batch_size/n_shards`` per shard, scaled by ``N/B``
+    exactly as in :func:`minibatch_grad` (stratified-by-shard sampling —
+    each datum is still counted with weight ``N/B`` in expectation).
+
+    Args:
+        log_prior / log_like / batch_size: as :func:`minibatch_grad`
+            (``log_like`` receives the device-local minibatch).
+        data: ``[N, ...]`` array or pytree sharing the leading axis. ``N``
+            and ``batch_size`` must divide by the mesh-axis size. The
+            helper places it with a leading-axis :class:`NamedSharding`;
+            pre-sharded inputs are left where they are.
+        mesh: a :class:`jax.sharding.Mesh` (e.g.
+            ``mini_mcmc_tpu.parallel.chain_mesh()``).
+        axis: mesh axis name to shard rows over (default: the mesh's
+            first axis). Positions stay replicated over this axis, so
+            chains must NOT also be sharded over it.
+
+    Returns:
+        ``grad_fn(positions [C, D], key) -> [C, D]``, usable with
+        :class:`~mini_mcmc_tpu.SGLD` / :class:`~mini_mcmc_tpu.SGHMC`.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    try:
+        shard_map = jax.shard_map  # jax >= 0.8
+    except AttributeError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    leaves = jax.tree_util.tree_leaves(data)
+    if not leaves:
+        raise ValueError("data must contain at least one array")
+    n = leaves[0].shape[0]
+    for leaf in leaves:
+        if leaf.shape[0] != n:
+            raise ValueError(
+                "all data leaves must share the leading axis; got "
+                f"{[leaf.shape[0] for leaf in leaves]}"
+            )
+    if axis is None:
+        axis = mesh.axis_names[0]
+    n_shards = mesh.shape[axis]
+    if n % n_shards != 0:
+        raise ValueError(
+            f"N={n} must divide by the '{axis}' mesh axis ({n_shards}); "
+            "pad or trim the dataset to equal shards (unequal shards "
+            "bias the estimator)"
+        )
+    if batch_size % n_shards != 0 or not 1 <= batch_size <= n:
+        raise ValueError(
+            f"batch_size must be in [1, {n}] and divide by the mesh "
+            f"axis size {n_shards}, got {batch_size}"
+        )
+    b_loc = batch_size // n_shards
+    n_loc = n // n_shards
+    scale = n / batch_size
+
+    data = jax.tree_util.tree_map(
+        lambda a: a
+        if getattr(a, "sharding", None) is not None
+        and not a.sharding.is_fully_replicated
+        else jax.device_put(
+            a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+        ),
+        data,
+    )
+
+    grad_prior = jax.grad(log_prior)
+    grad_like = jax.grad(lambda x, batch: scale * log_like(x, batch))
+
+    data_spec = jax.tree_util.tree_map(
+        lambda a: P(axis, *([None] * (a.ndim - 1))), data
+    )
+
+    def _local(local_data, positions, key):
+        # distinct index stream per shard; the SAME replicated key yields
+        # a deterministic per-device derivation via the axis index
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        idx = jax.random.randint(k, (b_loc,), 0, n_loc)
+        batch = jax.tree_util.tree_map(
+            lambda a: jnp.take(a, idx, axis=0), local_data
+        )
+        g = jax.vmap(grad_like, in_axes=(0, None))(positions, batch)
+        return jax.lax.psum(g, axis)
+
+    sharded = shard_map(
+        _local, mesh=mesh, in_specs=(data_spec, P(), P()), out_specs=P()
+    )
+
+    def grad_fn(positions: jax.Array, key: jax.Array) -> jax.Array:
+        return jax.vmap(grad_prior)(positions) + sharded(
+            data, positions, key
+        ).astype(positions.dtype)
+
+    return grad_fn
+
+
 def target_grad(target: Target) -> Callable:
     """Full-batch ``grad_fn`` from a :class:`~mini_mcmc_tpu.models.Target`
     (ignores the key) — lets SGLD/SGHMC run as exact unadjusted Langevin /
