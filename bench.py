@@ -957,6 +957,53 @@ def bench_beyond(out: dict | None = None) -> dict:
         "max_rel_var_err": var_rel,
         "quality_gate": "passed",
     }
+
+    # Data-parallel SGLD (ops/sgmcmc.py data_parallel_grad): the SAME
+    # conjugate regression, but the rows sharded over a "data" device
+    # mesh and the partial gradients reduced with exactly ONE psum per
+    # step. The bench host has one chip, so the mesh is 1-wide and the
+    # psum is the identity — this stage certifies the sharded CODE PATH
+    # (shard_map + per-shard RNG fold + local gather) on real hardware
+    # against the analytic posterior; the 8-way unbiasedness,
+    # collective-count, and end-to-end posterior proofs run on the
+    # virtual CPU mesh every suite run (tests/test_parallel.py).
+    from mini_mcmc_tpu import data_parallel_grad
+    from mini_mcmc_tpu.parallel import data_mesh
+
+    dp_mesh = data_mesh()
+    dp_grad = data_parallel_grad(
+        lambda w: -0.5 * jnp.sum(w * w) / tau_lr**2,
+        lambda w, batch: -0.5 * jnp.sum(
+            (batch[1] - batch[0] @ w) ** 2) / s_noise_lr**2,
+        (jnp.asarray(x_lr), jnp.asarray(y_lr)), batch_size=b_mb,
+        mesh=dp_mesh,
+    )
+    sg_dp = SGLD(
+        dp_grad, init_with_seed(c_lr, d_lr, seed=23),
+        step_size=polynomial_decay(2e-6, 50.0, 0.33),
+        seed=23, steps_per_call=16,
+    )
+    _sync(sg_dp.run(n_lr, n_lr, time_major=True))
+    sample, elapsed = _timed_best(
+        lambda: _sync(sg_dp.run(n_lr, 0, time_major=True)))
+    mean = np.asarray(jnp.mean(sample, axis=(0, 1)), np.float64)
+    var = np.asarray(jnp.var(sample, axis=(0, 1)), np.float64)
+    mean_err_sd = float(np.max(np.abs(mean - post_mean_lr) / post_sd_lr))
+    var_rel = float(np.max(np.abs(var / np.diag(post_cov_lr) - 1.0)))
+    _gate("dp-sgld posterior mean", mean_err_sd <= 1.0, mean_err_sd)
+    _gate("dp-sgld posterior var", var_rel <= 0.3, var_rel)
+    out["sgld_data_parallel_65k_rows"] = {
+        "config": f"same regression via data_parallel_grad over a "
+        f"{dp_mesh.devices.size}-device 'data' mesh (single-chip "
+        "fallback: psum is identity; 8-way mesh proofs in "
+        "tests/test_parallel.py), one all-reduce per step",
+        "n_devices": int(dp_mesh.devices.size),
+        "elapsed_s": elapsed,
+        "draws_per_sec": c_lr * n_lr / elapsed,
+        "max_mean_err_posterior_sd": mean_err_sd,
+        "max_rel_var_err": var_rel,
+        "quality_gate": "passed",
+    }
     return out
 
 

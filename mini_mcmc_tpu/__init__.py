@@ -33,7 +33,12 @@ from .diagnostics import (
 )
 from .nuts import NUTS
 from .ops.ais import AISResult, ais_log_z, linear_betas, resample
-from .ops.sgmcmc import minibatch_grad, polynomial_decay, target_grad
+from .ops.sgmcmc import (
+    data_parallel_grad,
+    minibatch_grad,
+    polynomial_decay,
+    target_grad,
+)
 from .ops.smc import SMCResult, smc_log_z
 from .ops.tempering import geometric_betas, tune_betas
 from .runner import make_initial_recording_runner, make_simple_runner
@@ -95,6 +100,7 @@ __all__ = [
     "ModernDiagnostics",
     "make_initial_recording_runner",
     "make_simple_runner",
+    "data_parallel_grad",
     "minibatch_grad",
     "models",
     "ops",

@@ -193,7 +193,9 @@ def data_parallel_grad(
         data: ``[N, ...]`` array or pytree sharing the leading axis. ``N``
             and ``batch_size`` must divide by the mesh-axis size. The
             helper places it with a leading-axis :class:`NamedSharding`;
-            pre-sharded inputs are left where they are.
+            pre-sharded inputs are accepted only in exactly that layout
+            (anything else raises — a silent per-step reshard would add
+            the collective this function promises not to).
         mesh: a :class:`jax.sharding.Mesh` (e.g.
             ``mini_mcmc_tpu.parallel.chain_mesh()``).
         axis: mesh axis name to shard rows over (default: the mesh's
@@ -239,15 +241,26 @@ def data_parallel_grad(
     n_loc = n // n_shards
     scale = n / batch_size
 
-    data = jax.tree_util.tree_map(
-        lambda a: a
-        if getattr(a, "sharding", None) is not None
-        and not a.sharding.is_fully_replicated
-        else jax.device_put(
-            a, NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
-        ),
-        data,
-    )
+    def _place(a):
+        want = NamedSharding(mesh, P(axis, *([None] * (a.ndim - 1))))
+        have = getattr(a, "sharding", None)
+        if have is not None and not have.is_fully_replicated:
+            # Pre-sharded input: accept ONLY the expected leading-axis
+            # layout. Anything else (different mesh/axis/dimension) would
+            # make shard_map silently reshard on every call — an extra
+            # per-step collective the docstring promises not to add.
+            if have.is_equivalent_to(want, a.ndim):
+                return a
+            raise ValueError(
+                "data_parallel_grad: a data leaf is pre-sharded as "
+                f"{have}, which does not match the required leading-axis "
+                f"sharding {want}; pass it unsharded (it will be placed) "
+                "or shard it over the mesh's "
+                f"'{axis}' axis on dimension 0"
+            )
+        return jax.device_put(a, want)
+
+    data = jax.tree_util.tree_map(_place, data)
 
     grad_prior = jax.grad(log_prior)
     grad_like = jax.grad(lambda x, batch: scale * log_like(x, batch))
@@ -264,7 +277,16 @@ def data_parallel_grad(
         batch = jax.tree_util.tree_map(
             lambda a: jnp.take(a, idx, axis=0), local_data
         )
-        g = jax.vmap(grad_like, in_axes=(0, None))(positions, batch)
+        # Differentiate DEVICE-LOCALLY: under vma-aware shard_map
+        # (jax >= 0.8/0.9), grad w.r.t. the *replicated* positions would
+        # auto-insert a psum in the transpose (each device's "partial"
+        # becomes the full cross-shard sum), and the explicit psum below
+        # would then over-count by n_shards. Casting positions to
+        # device-varying first keeps the grad local so the ONE explicit
+        # psum is the single intended reduction (verified by the
+        # unbiasedness + collective-count tests in test_parallel.py).
+        pos_v = jax.lax.pcast(positions, axis, to="varying")
+        g = jax.vmap(grad_like, in_axes=(0, None))(pos_v, batch)
         return jax.lax.psum(g, axis)
 
     sharded = shard_map(

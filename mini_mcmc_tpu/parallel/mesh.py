@@ -26,6 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 CHAIN_AXIS = "chains"
+DATA_AXIS = "data"
 
 
 def chain_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -40,6 +41,17 @@ def chain_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.array(devices), (CHAIN_AXIS,))
+
+
+def data_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D mesh over a ``"data"`` axis, for dataset sharding with
+    :func:`~mini_mcmc_tpu.data_parallel_grad` (chains stay replicated over
+    this axis; the dataset's rows split across it)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (DATA_AXIS,))
 
 
 def chain_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:

@@ -39,6 +39,7 @@ def _run_example(name):
         "streaming_production_run",
         "sharded_chains",
         "sgld_minibatch_logreg",
+        "sgld_data_parallel",
     ],
 )
 def test_example(name):
