@@ -1004,6 +1004,188 @@ def bench_beyond(out: dict | None = None) -> dict:
         "max_rel_var_err": var_rel,
         "quality_gate": "passed",
     }
+
+    # pSGLD (ops/sgmcmc.py, preconditioner="rmsprop") on a 100x
+    # anisotropic Gaussian: ONE shared step size samples every coordinate
+    # because RMSProp rescales each by ~sigma — the scale-equalization
+    # story measured at bench scale. rms_decay=0.9999 (not the 0.99
+    # default) decorrelates the EWMA V from the current state, shrinking
+    # the dropped-Gamma-term bias (CLAUDE.md pSGLD note: SMALLER steps
+    # make that bias worse, longer memory fixes it — measured 0.39 ->
+    # 0.14 max rel var err going 0.999 -> 0.9999); the variance gate
+    # bands include the residual bias. The equalization-ratio gate is
+    # the claim itself: sampled scales track the target's 100x.
+    d_ps, c_ps, n_ps = 8, 4096, 2048
+    sigma2_ps = jnp.asarray(np.logspace(0.0, 2.0, d_ps), jnp.float32)
+
+    def _aniso_grad(x, key):
+        del key
+        return -x / sigma2_ps[None, :]
+
+    psgld = SGLD(
+        _aniso_grad, init_with_seed(c_ps, d_ps, seed=27),
+        step_size=0.02, seed=27, preconditioner="rmsprop",
+        rms_decay=0.9999, steps_per_call=16,
+    )
+    _sync(psgld.run(n_ps, 2 * n_ps, time_major=True))
+    sample, elapsed = _timed_best(
+        lambda: _sync(psgld.run(n_ps, 0, time_major=True)))
+    var = np.asarray(jnp.var(sample, axis=(0, 1)), np.float64)
+    sig = np.asarray(sigma2_ps, np.float64)
+    rel_var = float(np.max(np.abs(var / sig - 1.0)))
+    eq_ratio = float(var[-1] / var[0])
+    _gate("psgld per-coordinate variance", rel_var <= 0.3, var / sig)
+    _gate("psgld scale equalization", 80.0 < eq_ratio < 140.0, eq_ratio)
+    out["psgld_anisotropic_100x"] = {
+        "config": f"N(0, diag(1..100)) ({d_ps}D log-spaced), one shared "
+        f"eps=0.02 via RMSProp preconditioning, {c_ps} chains, "
+        f"{n_ps}+{2 * n_ps} steps, rms_decay=0.9999, XLA K=16",
+        "elapsed_s": elapsed,
+        "draws_per_sec": c_ps * n_ps / elapsed,
+        "max_rel_var_err": rel_var,
+        "scale_equalization_ratio": eq_ratio,
+        "quality_gate": "passed",
+    }
+
+    # SGHMC (ops/sgmcmc.py) on the SAME conjugate regression as the SGLD
+    # stage: friction-damped momenta absorb the minibatch gradient noise,
+    # the analytic posterior is the gate. The friction must DOMINATE the
+    # minibatch-noise scale (measured: eps=2e-6 const at friction=0.05
+    # inflates the variance 52x; the decaying schedule + friction=0.5
+    # lands at 17% — variance bias ~ eps/friction) and momenta
+    # equilibrate in ~1/friction = 2 steps, far inside the discard.
+    from mini_mcmc_tpu import SGHMC
+
+    sghmc = SGHMC(
+        grad_fn, init_with_seed(c_lr, d_lr, seed=29),
+        step_size=polynomial_decay(1e-6, 50.0, 0.33),
+        friction=0.5, seed=29, steps_per_call=16,
+    )
+    _sync(sghmc.run(n_lr, n_lr, time_major=True))
+    sample, elapsed = _timed_best(
+        lambda: _sync(sghmc.run(n_lr, 0, time_major=True)))
+    mean = np.asarray(jnp.mean(sample, axis=(0, 1)), np.float64)
+    var = np.asarray(jnp.var(sample, axis=(0, 1)), np.float64)
+    mean_err_sd = float(np.max(np.abs(mean - post_mean_lr) / post_sd_lr))
+    var_rel = float(np.max(np.abs(var / np.diag(post_cov_lr) - 1.0)))
+    _gate("sghmc posterior mean", mean_err_sd <= 1.0, mean_err_sd)
+    _gate("sghmc posterior var", var_rel <= 0.4, var_rel)
+    out["sghmc_minibatch_65k_rows"] = {
+        "config": f"same regression, SGHMC decaying eps (1e-6 poly-0.33) "
+        f"friction=0.5, B={b_mb}, {c_lr} chains, {n_lr}+{n_lr} steps, "
+        "XLA K=16, vs analytic posterior",
+        "elapsed_s": elapsed,
+        "draws_per_sec": c_lr * n_lr / elapsed,
+        "max_mean_err_posterior_sd": mean_err_sd,
+        "max_rel_var_err": var_rel,
+        "quality_gate": "passed",
+    }
+    return out
+
+
+def bench_eight_schools() -> dict:
+    """Hard-geometry gate: eight schools (Rubin 1981), the hierarchical
+    funnel posterior, non-centered in D=10 with quadrature-EXACT posterior
+    means as ground truth (examples/eight_schools_nuts.py) — evidence the
+    adaptive machinery wins where geometry is hard, not only on Gaussian
+    and Rosenbrock targets. NUTS.warmed_up (ensemble diag metric +
+    dual-averaged eps in the whitened space) and ChEESHMC.warmed_up
+    (jointly adapted step size + trajectory length) both run at bench
+    scale, gated on the exact moments, R-hat, an ESS floor, and (NUTS)
+    the steady-state divergence rate."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "eight_schools_nuts",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "examples", "eight_schools_nuts.py"),
+    )
+    es8 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(es8)
+    exact_mu, exact_tau = es8.exact_posterior_means()
+    out: dict = {"exact_mu": exact_mu, "exact_tau": exact_tau}
+
+    c8, n8, nd8 = 4096, 1024, 256
+    d8 = 10
+
+    def _moment_gates(label, sample, rhat_mean, ess_min):
+        mu_hat = float(jnp.mean(sample[:, :, 0]))
+        tau_hat = float(jnp.mean(jnp.exp(sample[:, :, 1])))
+        _gate(f"{label} E[mu]", abs(mu_hat - exact_mu) <= 0.25,
+              (mu_hat, exact_mu))
+        _gate(f"{label} E[tau]", abs(tau_hat - exact_tau) <= 0.4,
+              (tau_hat, exact_tau))
+        _gate(f"{label} rhat", 0.95 <= rhat_mean <= 1.05, rhat_mean)
+        _gate(f"{label} ess floor", ess_min >= 0.002 * c8 * n8,
+              (ess_min, c8 * n8))
+        return mu_hat, tau_hat
+
+    # NUTS with an ensemble-estimated diag metric (warmed_up): 300
+    # unwhitened adaptation steps, then eps re-adapts in the whitened
+    # space during each run's discard phase. target_accept=0.9 — the
+    # standard hierarchical-model setting (0.8 measures a 1.2% steady
+    # divergence rate here; 0.9 measures ~1e-5 AND 6x the min ESS).
+    target = es8.make_noncentered_target()
+    warm = NUTS(target, init_with_seed(c8, d8, seed=31), 0.9,
+                seed=31).warmed_up(300, "diag")
+    _sync(warm.run(n8, nd8))  # whitened eps adaptation + compile
+    sample, elapsed = _timed_best(lambda: _sync(warm.run(n8, nd8)))
+    div_steady = int(jnp.sum(warm.last_run_divergences))
+    div_rate = div_steady / (c8 * (n8 + nd8 - 1))
+    rhat, ess = split_rhat_mean_ess(sample)
+    ess_mean, ess_min = float(jnp.mean(ess)), float(jnp.min(ess))
+    mu_hat, tau_hat = _moment_gates("8schools nuts", sample,
+                                    float(jnp.mean(rhat)), ess_min)
+    # non-centered + metric: the steady state must be clean (the example
+    # pins the CENTERED parameterization's rate staying high as the
+    # practitioner's funnel signal; the bench gates the production path)
+    _gate("8schools nuts steady-state divergence rate", div_rate <= 2e-3,
+          div_rate)
+    out["nuts_diag_metric"] = {
+        "config": f"non-centered 8 schools D={d8}, NUTS.warmed_up(diag), "
+        f"{c8} chains, {n8}+{nd8} draws, steady state",
+        "elapsed_s": elapsed,
+        "ess_per_sec": ess_mean / elapsed,
+        "ess_mean": ess_mean,
+        "ess_min": ess_min,
+        "rhat_mean": float(jnp.mean(rhat)),
+        "mu_hat": mu_hat,
+        "tau_hat": tau_hat,
+        "steady_state_divergence_rate": div_rate,
+        "quality_gate": "passed",
+    }
+
+    # ChEESHMC: same posterior, trajectory length adapted from the
+    # cross-chain criterion — after warmup the kernel is fixed-cost HMC
+    # with zero tree bookkeeping (the lockstep-efficiency story).
+    from mini_mcmc_tpu import ChEESHMC
+
+    ch = ChEESHMC(target, init_with_seed(c8, d8, seed=33),
+                  step_size=0.2, seed=33).warmed_up(500)
+    _sync(ch.run(n8, nd8))  # burn to steady state + compile
+    sample, elapsed = _timed_best(lambda: _sync(ch.run(n8, nd8)))
+    rhat, ess = split_rhat_mean_ess(sample)
+    ess_mean, ess_min = float(jnp.mean(ess)), float(jnp.min(ess))
+    mu_hat, tau_hat = _moment_gates("8schools chees", sample,
+                                    float(jnp.mean(rhat)), ess_min)
+    out["chees_adapted"] = {
+        "config": f"same posterior, ChEESHMC.warmed_up(500), {c8} chains, "
+        f"{n8}+{nd8} draws, steady state",
+        "elapsed_s": elapsed,
+        "ess_per_sec": ess_mean / elapsed,
+        "ess_mean": ess_mean,
+        "ess_min": ess_min,
+        "rhat_mean": float(jnp.mean(rhat)),
+        "mu_hat": mu_hat,
+        "tau_hat": tau_hat,
+        "adapted_step_size": float(ch.step_size),
+        "adapted_traj_len": float(ch.traj_len),
+        "mean_leapfrogs_per_draw":
+            float(ch.traj_len) / (2.0 * float(ch.step_size)),
+        "quality_gate": "passed",
+    }
+    out["quality_gate"] = "passed"
     return out
 
 
@@ -1045,6 +1227,15 @@ def main(extra: bool = False):
         beyond["beyond_gate_failed"] = f"{type(e).__name__}: {e}"
         print(f"[bench] beyond stage FAILED: {e}", file=sys.stderr,
               flush=True)
+    try:
+        beyond["eight_schools_10d"] = _staged("eight_schools",
+                                              bench_eight_schools)
+    except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+        if "UNAVAILABLE" in str(e) or "device error" in str(e):
+            raise
+        beyond["eight_schools_gate_failed"] = f"{type(e).__name__}: {e}"
+        print(f"[bench] eight_schools stage FAILED: {e}", file=sys.stderr,
+              flush=True)
     detail.update(beyond)
     result = {
         "metric": "effective_samples_per_sec_per_chip",
@@ -1054,6 +1245,58 @@ def main(extra: bool = False):
         "detail": detail,
     }
     print(json.dumps(result))
+    # Capture-proof compact summary, printed LAST: the driver records only
+    # the final ~2000 chars of stdout, and the full-detail line above has
+    # outgrown that window (round 3's artifact lost the headline number).
+    # This line (~1 KB) repeats the contract fields plus one headline rate
+    # per stage so the artifact stays parseable no matter how many stages
+    # future rounds add.
+    print(json.dumps(_compact_summary(result)))
+
+
+_HEADLINE_KEYS = (
+    "ess_per_sec", "ess_min_per_sec", "draws_per_sec",
+    "replica_updates_per_sec", "particle_updates_per_sec",
+    "latent_draws_per_sec", "sweeps_per_sec", "cold_draws_per_sec",
+)
+
+
+def _compact_summary(result: dict) -> dict:
+    """One ≤1.5 KB line: contract fields + {stage: headline_rate}."""
+
+    def headline(stage: dict):
+        for k in _HEADLINE_KEYS:
+            if k in stage:
+                return float(f"{stage[k]:.4g}")
+        for k, v in stage.items():
+            if k.endswith("_per_sec") and isinstance(v, (int, float)):
+                return float(f"{v:.4g}")
+        return "passed"
+
+    detail = result["detail"]
+    stages = {"hmc_flagship": float(f"{result['value']:.4g}")}
+    n_passed = 1 if detail.get("quality_gate") == "passed" else 0
+    todo = [(name, stage) for name, stage in detail.items()]
+    while todo:
+        name, stage = todo.pop(0)
+        if name.endswith("_gate_failed"):
+            stages[f"{name[:-12]}_FAILED"] = str(stage)[:160]
+            continue
+        if not (isinstance(stage, dict) and "quality_gate" in stage):
+            continue
+        ok = stage["quality_gate"] == "passed"
+        n_passed += ok
+        stages[name] = headline(stage) if ok else "FAILED"
+        todo.extend((f"{name}.{k}", v) for k, v in stage.items()
+                    if isinstance(v, dict) and "quality_gate" in v)
+    return {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "stages_passed": n_passed,
+        "stages": stages,
+    }
 
 
 def _backend_preflight(timeout_s: float = 240.0) -> str | None:
