@@ -68,12 +68,12 @@ def gaussian_mixture_conditional(mu0, sigma0, mu1, sigma1, pi0) -> Conditional:
                        sample_dc=sample_dc)
 
 
-def constant_conditional(c) -> Conditional:
-    """Test fixture: every coordinate resamples to the constant ``c``
+def constant_conditional(value) -> Conditional:
+    """Test fixture: every coordinate resamples to the constant ``value``
     (/root/reference/src/gibbs.rs:217-226)."""
 
     def sample(key, index, state):
         del key, index
-        return jnp.asarray(c, state.dtype)
+        return jnp.asarray(value, state.dtype)
 
     return Conditional(sample=sample)

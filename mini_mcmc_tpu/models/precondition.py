@@ -208,7 +208,7 @@ def _wrap_dc_forms(target: Target, pre: Preconditioner):
     return logp_dc, grad_dc
 
 
-def precondition_target(target: Target, pre: Preconditioner) -> Target:
+def precondition_target(target: Target, metric: Preconditioner) -> Target:
     """The whitened target ``logp_y(y) = logp_x(L y)``.
 
     All supplied forms are wrapped (batched, analytic gradient, normalized,
@@ -220,21 +220,21 @@ def precondition_target(target: Target, pre: Preconditioner) -> Target:
     logp_batch = grad = logp_normalized = None
 
     def logp(y, _f=target.logp):
-        return _f(pre.to_x(y))
+        return _f(metric.to_x(y))
 
     if target.logp_batch is not None:
         def logp_batch(ys, _f=target.logp_batch):
-            return _f(pre.to_x(ys))
+            return _f(metric.to_x(ys))
 
     if target.grad is not None:
         def grad(y, _f=target.grad):
-            return pre.grad_to_y(_f(pre.to_x(y)))
+            return metric.grad_to_y(_f(metric.to_x(y)))
 
     if target.logp_normalized is not None:
         def logp_normalized(y, _f=target.logp_normalized):
-            return _f(pre.to_x(y)) + pre.logdet().astype(y.dtype)
+            return _f(metric.to_x(y)) + metric.logdet().astype(y.dtype)
 
-    logp_dc, grad_dc = _wrap_dc_forms(target, pre)
+    logp_dc, grad_dc = _wrap_dc_forms(target, metric)
     return Target(
         logp=logp,
         logp_batch=logp_batch,

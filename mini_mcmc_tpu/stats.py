@@ -82,38 +82,44 @@ def tracker_init(n_chains: int, n_params: int, initial_state=None) -> TrackerSta
     )
 
 
-def tracker_update(t: TrackerState, x: jax.Array) -> TrackerState:
+def tracker_update(
+    tracker: TrackerState, positions: jax.Array
+) -> TrackerState:
     """One streaming update (stats.rs:228-259).
 
     The reference folds the acceptance EWMA sequentially over chain rows
     within the step; the closed form uses weights
     ``alpha * (1-alpha)^(C-1-i)`` plus ``(1-alpha)^C`` on the old value.
     """
-    x = x.astype(jnp.float32)
-    if x.ndim == 1:
-        x = x[:, None]
-    n_chains = x.shape[0]
-    n = (t.n + 1).astype(jnp.float32)
+    positions = positions.astype(jnp.float32)
+    if positions.ndim == 1:
+        positions = positions[:, None]
+    n_chains = positions.shape[0]
+    n = (tracker.n + 1).astype(jnp.float32)
 
-    mean = (t.mean * (n - 1.0) + x) / n
-    mean_sq = (t.mean_sq * (n - 1.0) + x * x) / n
+    mean = (tracker.mean * (n - 1.0) + positions) / n
+    mean_sq = (tracker.mean_sq * (n - 1.0) + positions * positions) / n
 
-    accepted = jnp.any(x != t.last_state, axis=1).astype(jnp.float32)  # [C]
+    accepted = jnp.any(  # [C]
+        positions != tracker.last_state, axis=1
+    ).astype(jnp.float32)
     decay = (1.0 - ALPHA) ** jnp.arange(n_chains - 1, -1, -1, dtype=jnp.float32)
-    p_accept = t.p_accept * (1.0 - ALPHA) ** n_chains + ALPHA * jnp.sum(
+    p_accept = tracker.p_accept * (1.0 - ALPHA) ** n_chains + ALPHA * jnp.sum(
         decay * accepted
     )
     # per-chain EWMA with the ChainTracker first-step convention
     # (stats.rs:110-116): the seed value compares only coordinate 0.
-    fresh = t.p_accept_chains < 0.0
-    accepted_coord0 = (x[:, 0] != t.last_state[:, 0]).astype(jnp.float32)
-    base = jnp.where(fresh, accepted_coord0, t.p_accept_chains)
+    fresh = tracker.p_accept_chains < 0.0
+    accepted_coord0 = (
+        positions[:, 0] != tracker.last_state[:, 0]
+    ).astype(jnp.float32)
+    base = jnp.where(fresh, accepted_coord0, tracker.p_accept_chains)
     p_accept_chains = (1.0 - ALPHA) * base + ALPHA * accepted
 
     return TrackerState(
-        n=t.n + 1,
+        n=tracker.n + 1,
         p_accept=p_accept,
-        last_state=x,
+        last_state=positions,
         mean=mean,
         mean_sq=mean_sq,
         p_accept_chains=p_accept_chains,
@@ -129,30 +135,32 @@ class ChainStats(NamedTuple):
     sm2: jax.Array  # [P] or [C, P]
 
 
-def tracker_stats(t: TrackerState) -> ChainStats:
+def tracker_stats(tracker: TrackerState) -> ChainStats:
     """Bias-corrected snapshot: ``sm2 = (mean_sq - mean^2) * n/(n-1)``
     (stats.rs:132-140, :300)."""
-    n = t.n.astype(jnp.float32)
-    sm2 = (t.mean_sq - t.mean**2) * n / (n - 1.0)
-    return ChainStats(n=t.n, p_accept=t.p_accept, mean=t.mean, sm2=sm2)
+    n = tracker.n.astype(jnp.float32)
+    sm2 = (tracker.mean_sq - tracker.mean**2) * n / (n - 1.0)
+    return ChainStats(
+        n=tracker.n, p_accept=tracker.p_accept, mean=tracker.mean, sm2=sm2
+    )
 
 
-def tracker_rhat(t: TrackerState) -> jax.Array:
+def tracker_rhat(tracker: TrackerState) -> jax.Array:
     """Live per-parameter R-hat from streaming moments
     (``MultiChainTracker::rhat``, stats.rs:282-306): ``sqrt(var / W)``."""
-    n_chains = t.mean.shape[0]
-    n = t.n.astype(jnp.float32)
-    mean_chain = jnp.mean(t.mean, axis=0)  # [P]
+    n_chains = tracker.mean.shape[0]
+    n = tracker.n.astype(jnp.float32)
+    mean_chain = jnp.mean(tracker.mean, axis=0)  # [P]
     fac = n / (n_chains - 1.0)
-    between = jnp.sum((t.mean - mean_chain[None, :]) ** 2, axis=0) * fac
-    sm2 = (t.mean_sq - t.mean**2) * n / (n - 1.0)
+    between = jnp.sum((tracker.mean - mean_chain[None, :]) ** 2, axis=0) * fac
+    sm2 = (tracker.mean_sq - tracker.mean**2) * n / (n - 1.0)
     within = jnp.mean(sm2, axis=0)
     var = within * ((n - 1.0) / n) + between * (1.0 / n)
     return jnp.sqrt(var / within)
 
 
-def tracker_max_rhat(t: TrackerState) -> jax.Array:
-    return jnp.max(tracker_rhat(t))
+def tracker_max_rhat(tracker: TrackerState) -> jax.Array:
+    return jnp.max(tracker_rhat(tracker))
 
 
 class ChainTracker:
