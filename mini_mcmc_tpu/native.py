@@ -46,6 +46,10 @@ def load(rebuild: bool = False) -> ctypes.CDLL:
     lib.mcmc_split_rhat_ess.argtypes = [
         f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, f32p, f32p,
     ]
+    lib.mcmc_rank_normalized_diag.argtypes = [
+        f32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        f32p, f32p, f32p, f32p,
+    ]
     f64p = ctypes.POINTER(ctypes.c_double)
     lib.mcmc_save_csv_f64.argtypes = [
         f64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -101,6 +105,22 @@ def split_rhat_ess(sample) -> Tuple[np.ndarray, np.ndarray]:
     ess = np.empty((p,), np.float32)
     lib.mcmc_split_rhat_ess(_ptr(sample), c, n, p, _ptr(rhat), _ptr(ess))
     return rhat, ess
+
+
+def rank_normalized_diag(sample) -> Tuple[np.ndarray, np.ndarray,
+                                          np.ndarray, np.ndarray]:
+    """Independent rank-normalized diagnostics (Vehtari et al. 2021):
+    ``[c, n, p] -> (rhat_bulk, rhat_folded, ess_bulk, ess_tail)``, each
+    ``[p]`` — the C++ cross-check for
+    :func:`mini_mcmc_tpu.rank_normalized_diagnostics`."""
+    lib = load()
+    sample = _as_f32(sample)
+    c, n, p = sample.shape
+    outs = [np.empty((p,), np.float32) for _ in range(4)]
+    lib.mcmc_rank_normalized_diag(
+        _ptr(sample), c, n, p, *[_ptr(o) for o in outs]
+    )
+    return tuple(outs)
 
 
 def save_csv_cube(cube, path: str) -> None:
