@@ -1142,6 +1142,12 @@ def bench_eight_schools() -> dict:
     # practitioner's funnel signal; the bench gates the production path)
     _gate("8schools nuts steady-state divergence rate", div_rate <= 2e-3,
           div_rate)
+    # Lockstep-efficiency accounting (the masked-lane waste the lockstep
+    # NUTS design accepts, ops/nuts.py:21-39): executed leapfrogs = one
+    # gradient eval each, every lane pays the deepest chain's tree.
+    nuts_steps = n8 + nd8 - 1
+    nuts_lf_per_draw = float(warm.last_run_leapfrogs[0]) / nuts_steps
+    nuts_grad_evals = c8 * (float(warm.last_run_leapfrogs[0]) + nuts_steps)
     out["nuts_diag_metric"] = {
         "config": f"non-centered 8 schools D={d8}, NUTS.warmed_up(diag), "
         f"{c8} chains, {n8}+{nd8} draws, steady state",
@@ -1153,6 +1159,8 @@ def bench_eight_schools() -> dict:
         "mu_hat": mu_hat,
         "tau_hat": tau_hat,
         "steady_state_divergence_rate": div_rate,
+        "leapfrogs_per_draw": nuts_lf_per_draw,
+        "grad_evals_per_effective_sample": nuts_grad_evals / ess_mean,
         "quality_gate": "passed",
     }
 
@@ -1183,6 +1191,12 @@ def bench_eight_schools() -> dict:
         "adapted_traj_len": float(ch.traj_len),
         "mean_leapfrogs_per_draw":
             float(ch.traj_len) / (2.0 * float(ch.step_size)),
+        # fixed-cost kernel: L + 1 grad evals per draw per chain (vs the
+        # NUTS stage's measured executed-leapfrog accounting above)
+        "grad_evals_per_effective_sample":
+            c8 * (n8 + nd8)
+            * (float(ch.traj_len) / (2.0 * float(ch.step_size)) + 1.0)
+            / ess_mean,
         "quality_gate": "passed",
     }
     out["quality_gate"] = "passed"

@@ -103,6 +103,7 @@ class NUTS:
             )
         self.state: NUTSState = init_fn(initial_positions)
         self._div_before_run = None  # see last_run_divergences
+        self._lf_before_run = None  # see last_run_leapfrogs
         self._prepare_fn = jax.jit(prepare_fn, static_argnames=("n_discard",))
         self._step_fn = step_fn
         self._key = _fresh_key(seed)
@@ -205,12 +206,39 @@ class NUTS:
             return jnp.zeros_like(self.state.divergences)
         return self.state.divergences - self._div_before_run
 
+    @property
+    def leapfrogs(self) -> jax.Array:
+        """Per-chain count of leapfrog steps EXECUTED (cumulative, like
+        :attr:`divergences`) — the lockstep cost including masked-lane
+        waste: every chain pays ``2^J - 1`` gradient evals for a J-deep
+        doubling loop whether or not its own tree finished earlier
+        (ops/nuts.py:21-39). One gradient evaluation per leapfrog (the
+        per-step initial gradient and ``find_reasonable_epsilon`` are
+        extra). ``-1`` when ``use_pallas="full"`` (the fused kernel does
+        not report its on-chip loop depth). Divide the per-run delta by
+        the run's steps for grad-evals/draw — the number to weigh against
+        ``ChEESHMC``'s fixed ``traj_len / (2 * step_size)``."""
+        return self.state.leapfrogs
+
+    @property
+    def last_run_leapfrogs(self) -> jax.Array:
+        """Per-chain executed leapfrogs of the most recent ``run`` only
+        (the :attr:`last_run_divergences` convention)."""
+        import jax.numpy as jnp
+
+        if bool(jnp.any(self.state.leapfrogs < 0)):
+            return jnp.full_like(self.state.leapfrogs, -1)
+        if self._lf_before_run is None:
+            return jnp.zeros_like(self.state.leapfrogs)
+        return self.state.leapfrogs - self._lf_before_run
+
     def _snapshot_divergences(self):
         import jax.numpy as jnp
 
         # copy=True: run() donates the state buffers, so a bare reference
         # to the pre-run array would be invalidated by the runner call
         self._div_before_run = jnp.array(self.state.divergences, copy=True)
+        self._lf_before_run = jnp.array(self.state.leapfrogs, copy=True)
 
     def run(self, n_collect: int, n_discard: int = 0, *,
             time_major: bool = False) -> jax.Array:

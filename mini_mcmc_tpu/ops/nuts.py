@@ -74,6 +74,13 @@ class NUTSState(NamedTuple):
     m: jax.Array  # [C] int32 cumulative step count
     n_discard: jax.Array  # [C] int32 adaptation horizon of the current run
     divergences: jax.Array  # [C] int32 count of divergent transitions
+    #: [C] int32 cumulative leapfrogs EXECUTED per chain lane (2^J - 1 per
+    #: step for a J-deep doubling loop) — the lockstep COST including
+    #: masked-lane waste, not per-chain useful work; one gradient eval per
+    #: leapfrog (the per-step initial grad and the epsilon search are not
+    #: included). The fused full-step Pallas kernel does not report its
+    #: on-chip loop depth: that path pins the whole counter to -1.
+    leapfrogs: jax.Array
 
 
 def _leapfrog1(target: Target, pos, mom, grad, eps):
@@ -574,15 +581,23 @@ def _nuts_step_batched(
     (_j, _pm, _mm, _gm, _pp, _mp, _gp, position_sel, _n, _s, alpha,
      n_alpha, diverged) = lax.while_loop(cond, body, init)
 
+    # every lane executes the full lockstep doubling loop: 2^J - 1
+    # leapfrogs (one gradient eval each), masked or not
+    leapfrog_inc = (jnp.int32(1) << _j) - 1
     return _finish_step(
-        state, target_accept_p, m, position_sel, alpha, n_alpha, diverged
+        state, target_accept_p, m, position_sel, alpha, n_alpha, diverged,
+        leapfrog_inc=leapfrog_inc,
     )
 
 
 def _finish_step(state, target_accept_p, m, position_sel, alpha, n_alpha,
-                 diverged):
+                 diverged, leapfrog_inc=None):
     """Dual averaging + state assembly (nuts.rs:676-691), shared by the
-    XLA doubling loop and the fused full-step Pallas kernel."""
+    XLA doubling loop and the fused full-step Pallas kernel.
+
+    ``leapfrog_inc``: this step's executed-leapfrog count (scalar int32;
+    the XLA paths pass it). ``None`` — the fused full-step kernel, whose
+    on-chip loop depth is not reported — pins the counter to -1."""
     dtype = position_sel.dtype
     one = jnp.asarray(1.0, dtype)
     mf = m.astype(dtype)
@@ -599,6 +614,12 @@ def _finish_step(state, target_accept_p, m, position_sel, alpha, n_alpha,
     epsilon = jnp.where(warming, eps_warm, state.epsilon_bar)
     epsilon_bar = jnp.where(warming, eps_bar_warm, state.epsilon_bar)
 
+    if leapfrog_inc is None:
+        leapfrogs = jnp.full_like(state.leapfrogs, -1)
+    else:
+        leapfrogs = jnp.where(
+            state.leapfrogs >= 0, state.leapfrogs + leapfrog_inc, -1
+        )
     return NUTSState(
         positions=position_sel,
         epsilon=epsilon,
@@ -608,6 +629,7 @@ def _finish_step(state, target_accept_p, m, position_sel, alpha, n_alpha,
         m=m,
         n_discard=state.n_discard,
         divergences=state.divergences + diverged.astype(jnp.int32),
+        leapfrogs=leapfrogs,
     )
 
 
@@ -666,6 +688,7 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10,
             m=jnp.zeros((c,), jnp.int32),
             n_discard=jnp.zeros((c,), jnp.int32),
             divergences=jnp.zeros((c,), jnp.int32),
+            leapfrogs=jnp.zeros((c,), jnp.int32),
         )
 
     def prepare_fn(state: NUTSState, key: jax.Array, n_discard: int) -> NUTSState:

@@ -285,3 +285,33 @@ def test_nuts_time_major_layout_is_pure_transpose():
         np.testing.assert_array_equal(
             np.asarray(tm), np.asarray(jnp.swapaxes(cm, 0, 1))
         )
+
+
+def test_nuts_leapfrog_accounting():
+    """The executed-leapfrog counter (lockstep-cost accounting): every
+    lane pays the same 2^J - 1 gradient evals per step, so the counter is
+    identical across chains, grows monotonically, and its per-run delta
+    follows the last_run_divergences convention."""
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    s = NUTS(target, init_det(8, 2), 0.8).seed(3)
+    assert np.all(np.asarray(s.leapfrogs) == 0)
+    assert np.all(np.asarray(s.last_run_leapfrogs) == 0)
+
+    s.run(40, 10)
+    lf1 = np.asarray(s.leapfrogs)
+    # lockstep: one shared cost for all lanes; at least 1 leapfrog per
+    # step (49 steps: initial-recording convention)
+    assert np.all(lf1 == lf1[0])
+    assert lf1[0] >= 49
+    np.testing.assert_array_equal(np.asarray(s.last_run_leapfrogs), lf1)
+
+    s.run(40, 0)
+    lf2 = np.asarray(s.leapfrogs)
+    assert lf2[0] > lf1[0]
+    np.testing.assert_array_equal(
+        np.asarray(s.last_run_leapfrogs), lf2 - lf1
+    )
+    # grad-evals/draw is the ChEES-comparison number: bounded by the
+    # 2^max_depth tree cap
+    per_draw = (lf2[0] - lf1[0]) / 39
+    assert 1.0 <= per_draw <= 2.0**10, per_draw
