@@ -1199,6 +1199,42 @@ def bench_eight_schools() -> dict:
             / ess_mean,
         "quality_gate": "passed",
     }
+
+    # Fully-fused NUTS step kernel on the SAME hard posterior: the
+    # example's hand-written chains-on-lanes logp_dc/grad_dc forms
+    # (autodiff-pinned in tests/test_examples.py) let the flagship
+    # use_pallas="full" tier run a hierarchical model, with the diag
+    # metric whitened INTO the dc forms (models/precondition.py
+    # _wrap_dc_forms). Same exact-moment gates; hardware-PRNG stream.
+    from mini_mcmc_tpu.ops.pallas import pallas_available
+
+    if pallas_available():
+        fused = NUTS(target, init_with_seed(c8, d8, seed=35), 0.9,
+                     seed=35, use_pallas="full").warmed_up(300, "diag")
+        _sync(fused.run(n8, nd8))
+        sample, elapsed = _timed_best(lambda: _sync(fused.run(n8, nd8)))
+        div_rate_f = (int(jnp.sum(fused.last_run_divergences))
+                      / (c8 * (n8 + nd8 - 1)))
+        rhat, ess = split_rhat_mean_ess(sample)
+        ess_mean, ess_min = float(jnp.mean(ess)), float(jnp.min(ess))
+        mu_hat, tau_hat = _moment_gates("8schools nuts-fused", sample,
+                                        float(jnp.mean(rhat)), ess_min)
+        _gate("8schools nuts-fused steady-state divergence rate",
+              div_rate_f <= 2e-3, div_rate_f)
+        out["nuts_fused_full"] = {
+            "config": "same posterior, NUTS.warmed_up(diag) with the "
+            "fully-fused step kernel (use_pallas='full') on the "
+            "example's hand-written dc forms",
+            "elapsed_s": elapsed,
+            "ess_per_sec": ess_mean / elapsed,
+            "ess_mean": ess_mean,
+            "ess_min": ess_min,
+            "rhat_mean": float(jnp.mean(rhat)),
+            "mu_hat": mu_hat,
+            "tau_hat": tau_hat,
+            "steady_state_divergence_rate": div_rate_f,
+            "quality_gate": "passed",
+        }
     out["quality_gate"] = "passed"
     return out
 

@@ -43,7 +43,16 @@ def _log_half_cauchy(tau):
 
 
 def make_noncentered_target():
-    """params = [mu, log_tau, eta_1..8] (D=10), theta = mu + tau * eta."""
+    """params = [mu, log_tau, eta_1..8] (D=10), theta = mu + tau * eta.
+
+    Also carries the chains-on-lanes ``logp_dc``/``grad_dc`` forms
+    (rows = parameters, lanes = chains; Python-float data constants,
+    elementwise ops only) that unlock the fused Pallas NUTS kernels
+    (``NUTS(use_pallas=...)``) on this hierarchical posterior — the
+    template for enabling the fused tiers on a user model. The analytic
+    ``grad_dc`` is pinned against autodiff of ``logp_batch`` in
+    ``tests/test_examples.py``.
+    """
     y, sig = jnp.asarray(Y), jnp.asarray(SIGMA)
 
     def logp_batch(params):  # [C, 10] -> [C]
@@ -57,8 +66,44 @@ def make_noncentered_target():
         logp_tau = _log_half_cauchy(tau[:, 0]) + log_tau[:, 0]
         return loglik + logp_eta + logp_mu + logp_tau
 
+    # Host-float constants: inside a Pallas kernel only elementwise /
+    # broadcast jnp ops on the lane arrays are safe (and scalar device
+    # constants would round-trip the tunnel per element).
+    yf = [float(v) for v in Y]
+    sf2 = [float(v) ** 2 for v in SIGMA]
+    log_hc = float(np.log(2.0 / (np.pi * TAU_PRIOR_SCALE)))
+
+    def logp_dc(p):  # [10, ...] -> [...]
+        mu, log_tau = p[0], p[1]
+        tau = jnp.exp(log_tau)
+        acc = -0.5 * (mu / MU_PRIOR_STD) ** 2
+        acc = acc + log_hc - jnp.log1p((tau / TAU_PRIOR_SCALE) ** 2)
+        acc = acc + log_tau
+        for j in range(8):
+            eta = p[2 + j]
+            theta = mu + tau * eta
+            acc = acc - 0.5 * (yf[j] - theta) ** 2 / sf2[j]
+            acc = acc - 0.5 * eta * eta
+        return acc
+
+    def grad_dc(p):  # [10, ...] -> [10, ...]
+        mu, log_tau = p[0], p[1]
+        tau = jnp.exp(log_tau)
+        g_mu = -mu / MU_PRIOR_STD**2
+        t2 = (tau / TAU_PRIOR_SCALE) ** 2
+        g_lt = 1.0 - 2.0 * t2 / (1.0 + t2)
+        rows_eta = []
+        for j in range(8):
+            eta = p[2 + j]
+            r = (yf[j] - (mu + tau * eta)) / sf2[j]
+            g_mu = g_mu + r
+            g_lt = g_lt + r * tau * eta
+            rows_eta.append((r * tau - eta)[None])
+        return jnp.concatenate([g_mu[None], g_lt[None]] + rows_eta, axis=0)
+
     return Target(
-        logp=lambda p: logp_batch(p[None, :])[0], logp_batch=logp_batch
+        logp=lambda p: logp_batch(p[None, :])[0], logp_batch=logp_batch,
+        logp_dc=logp_dc, grad_dc=grad_dc,
     )
 
 
@@ -114,6 +159,12 @@ def main(n_chains=32, n_collect=1000, n_discard=500):
         s.run(n_collect, n_discard)
         sample = s.run(n_collect, n_discard)
         steps = chains * (n_collect + n_discard)
+        # executed-leapfrog accounting: the lockstep cost per draw (every
+        # chain pays the deepest tree; one gradient eval per leapfrog)
+        lf_per_draw = float(s.last_run_leapfrogs[0]) / (
+            n_collect + n_discard - 1)
+        print(f"    ({lf_per_draw:.0f} leapfrog grad evals per draw, "
+              "lockstep)")
         return sample, int(jnp.sum(s.last_run_divergences)) / steps
 
     # Non-centered: clean geometry, exact-moment recovery.

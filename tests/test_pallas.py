@@ -361,3 +361,56 @@ def test_fit_grid_block_picks_largest_legal_divisor():
 
     with pytest.raises(ValueError, match="multiple of 1024"):
         fit_grid_block(96, 8192)
+
+
+def test_nuts_subtree_kernel_on_eight_schools_dc_forms():
+    """The 8-schools example's hand-written dc forms must drive the fused
+    subtree kernel to the same tree as the XLA builder on the same
+    inputs — kernel-compatibility proof for a HIERARCHICAL D=10 target
+    (the bench's nuts_fused_full stage runs this pair on hardware)."""
+    import importlib.util
+    import os
+
+    from mini_mcmc_tpu.ops.nuts import _build_subtree_batched
+    from mini_mcmc_tpu.ops.pallas.nuts_subtree import make_pallas_subtree
+
+    spec = importlib.util.spec_from_file_location(
+        "es8", os.path.join(os.path.dirname(__file__), "..",
+                            "examples", "eight_schools_nuts.py"))
+    es8 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(es8)
+    target = es8.make_noncentered_target()
+
+    c, d = 1024, 10
+    key = jax.random.PRNGKey(5)
+    pos = 0.5 * jax.random.normal(key, (c, d), jnp.float32)
+    mom = jax.random.normal(jax.random.fold_in(key, 1), (c, d), jnp.float32)
+    grad = jax.vmap(jax.grad(target.logp))(pos)
+    logp0 = target.logp_batch(pos)
+    joint0 = logp0 - 0.5 * jnp.sum(mom * mom, axis=1)
+    logu = joint0 - 1.0
+    v = jnp.where(jax.random.uniform(jax.random.fold_in(key, 2), (c,))
+                  < 0.5, -1, 1).astype(jnp.int32)
+    eps = jnp.full((c,), 0.05, jnp.float32)
+    active = jnp.ones((c,), bool)
+
+    interp = jax.default_backend() != "tpu"
+    sub = make_pallas_subtree(target.grad_dc, target.logp_dc, 6,
+                              interpret=interp)
+    (end_pos, _em, _eg, prop_pos, _pg, _pl, n, s, _a, n_alpha, _dv) = sub(
+        pos, mom, grad, logu, v, jnp.int32(2), eps, joint0, active,
+        jnp.zeros(2, jnp.int32),
+    )
+    ref = _build_subtree_batched(
+        target, 6, pos, mom, grad, logu, v, jnp.int32(2), eps, joint0,
+        active, jax.random.PRNGKey(0),
+    )
+    np.testing.assert_allclose(np.asarray(end_pos), np.asarray(ref.end_pos),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(n_alpha),
+                                  np.asarray(ref.n_alpha))
+    # n and s can differ only through the merge-uniform stream; the
+    # deterministic leapfrog trajectory itself must agree, so the
+    # termination flags agree wherever no probabilistic swap happened
+    assert float(jnp.mean(s == ref.s)) > 0.99
+    del prop_pos, n  # proposal selection uses the kernel's own stream
