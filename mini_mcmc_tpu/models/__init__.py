@@ -1,7 +1,7 @@
 """Target distributions, proposals and conditionals (the reference's
 ``distributions`` module, /root/reference/src/distributions.rs)."""
 
-from .base import Conditional, Proposal, Target
+from .base import Conditional, Proposal, Target, derive_grad_dc
 from .discrete import (
     Categorical,
     binomial_target,
@@ -31,6 +31,7 @@ __all__ = [
     "Preconditioner",
     "Proposal",
     "Target",
+    "derive_grad_dc",
     "estimate_preconditioner",
     "precondition_target",
     "binomial_target",

@@ -84,6 +84,38 @@ class Target:
             return self.logp(position), self.grad(position)
         return jax.value_and_grad(self.logp)(position)
 
+    def dc_forms(self):
+        """``(logp_dc, grad_dc)`` for the fused Pallas kernels.
+
+        When only ``logp_dc`` is supplied, the gradient is derived with
+        :func:`derive_grad_dc` — writing the density in chains-on-lanes
+        form is enough to unlock every fused kernel tier; a hand-written
+        ``grad_dc`` remains an optional override (it can be cheaper when
+        value and gradient share subexpressions).
+        """
+        if self.logp_dc is None or self.grad_dc is not None:
+            return self.logp_dc, self.grad_dc
+        return self.logp_dc, derive_grad_dc(self.logp_dc)
+
+
+def derive_grad_dc(logp_dc: Callable) -> Callable:
+    """The ``[D, ...] -> [D, ...]`` gradient of a chains-on-lanes log
+    density, derived by reverse-mode AD.
+
+    Lanes are independent chains, so the VJP of ``logp_dc`` with a ones
+    cotangent IS the per-lane gradient (the sum trick). Because a valid
+    ``logp_dc`` uses only elementwise/broadcast jnp ops, its transpose is
+    also elementwise — the derived gradient traces into Pallas kernel
+    bodies exactly like a hand-written one.
+    """
+
+    def grad_dc(p):
+        out, vjp = jax.vjp(logp_dc, p)
+        (g,) = vjp(jnp.ones_like(out))
+        return g
+
+    return grad_dc
+
 
 @dataclasses.dataclass(frozen=True)
 class Proposal:

@@ -82,9 +82,11 @@ def hmc_kernel(
     pallas_full = None
     pallas_multistep = None
     if use_pallas:
-        if target.logp_dc is None or target.grad_dc is None:
+        logp_dc, grad_dc = target.dc_forms()  # grad auto-derived by AD
+        if logp_dc is None:
             raise ValueError(
-                "use_pallas requires target.logp_dc and target.grad_dc"
+                "use_pallas requires target.logp_dc (grad_dc is derived "
+                "when absent)"
             )
         if use_pallas == "full":
             # Entire step (momentum RNG + trajectory + accept) on-chip with
@@ -92,8 +94,8 @@ def hmc_kernel(
             from .pallas.hmc_full import make_pallas_hmc_step
 
             pallas_full = make_pallas_hmc_step(
-                target.grad_dc,
-                target.logp_dc,
+                grad_dc,
+                logp_dc,
                 step_size,
                 n_leapfrog,
                 interpret=pallas_interpret,
@@ -102,8 +104,8 @@ def hmc_kernel(
                 from .pallas.hmc_full import make_pallas_hmc_multistep
 
                 pallas_multistep = make_pallas_hmc_multistep(
-                    target.grad_dc,
-                    target.logp_dc,
+                    grad_dc,
+                    logp_dc,
                     step_size,
                     n_leapfrog,
                     steps_per_call,
@@ -113,8 +115,8 @@ def hmc_kernel(
             from .pallas.hmc import make_pallas_leapfrog
 
             pallas_traj = make_pallas_leapfrog(
-                target.grad_dc,
-                target.logp_dc,
+                grad_dc,
+                logp_dc,
                 step_size,
                 n_leapfrog,
                 interpret=pallas_interpret,

@@ -656,22 +656,24 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10,
     pallas_subtree = None
     pallas_step = None
     if use_pallas:
-        if target.logp_dc is None or target.grad_dc is None:
+        logp_dc, grad_dc = target.dc_forms()  # grad auto-derived by AD
+        if logp_dc is None:
             raise ValueError(
-                "use_pallas requires target.logp_dc and target.grad_dc"
+                "use_pallas requires target.logp_dc (grad_dc is derived "
+                "when absent)"
             )
         if use_pallas == "full":
             from .pallas.nuts_full import make_pallas_nuts_step
 
             pallas_step = make_pallas_nuts_step(
-                target.grad_dc, target.logp_dc, max_depth,
+                grad_dc, logp_dc, max_depth,
                 interpret=pallas_interpret,
             )
         else:
             from .pallas.nuts_subtree import make_pallas_subtree
 
             pallas_subtree = make_pallas_subtree(
-                target.grad_dc, target.logp_dc, max_depth,
+                grad_dc, logp_dc, max_depth,
                 interpret=pallas_interpret,
             )
 

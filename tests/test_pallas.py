@@ -70,14 +70,25 @@ def test_hmc_use_pallas_interpret_end_to_end():
 
 
 def test_use_pallas_requires_dc_forms():
-    from mini_mcmc_tpu.models import gaussian2d
+    from mini_mcmc_tpu.models.base import Target
 
-    target = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    # No dc form at all -> loud requirement error.
+    target = Target(logp=lambda p: -0.5 * jnp.sum(p * p))
     try:
         HMC(target, init_det(2, 2), 0.1, 2, use_pallas=True)
         assert False, "expected ValueError"
     except ValueError as e:
         assert "logp_dc" in str(e)
+
+    # logp_dc WITHOUT grad_dc is now sufficient (derived gradient):
+    # gaussian2d was an MH-only dc form before derivation existed.
+    from mini_mcmc_tpu.models import gaussian2d
+
+    g2 = gaussian2d([0.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    assert g2.logp_dc is not None and g2.grad_dc is None
+    s = HMC(g2, init_det(8, 2), 0.1, 2, use_pallas=True,
+            pallas_interpret=True).seed(1)
+    assert s.run(3, 0).shape == (8, 3, 2)
 
 
 def test_full_step_kernel_requires_tpu():
@@ -414,3 +425,82 @@ def test_nuts_subtree_kernel_on_eight_schools_dc_forms():
     # termination flags agree wherever no probabilistic swap happened
     assert float(jnp.mean(s == ref.s)) > 0.99
     del prop_pos, n  # proposal selection uses the kernel's own stream
+
+
+def test_derive_grad_dc_matches_handwritten():
+    """AD-derived chains-on-lanes gradient == hand-written, on both the
+    [D, C] layout and the kernels' [D, 8, C/8] sublane packing."""
+    import dataclasses
+
+    from mini_mcmc_tpu.models.base import derive_grad_dc
+
+    target = rosenbrock_nd()
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 4), jnp.float32)
+    derived = derive_grad_dc(target.logp_dc)
+    np.testing.assert_allclose(np.asarray(derived(x.T)),
+                               np.asarray(target.grad_dc(x.T)),
+                               rtol=1e-5, atol=1e-6)
+    p3 = x.T.reshape(4, 8, 2)
+    np.testing.assert_allclose(np.asarray(derived(p3)),
+                               np.asarray(target.grad_dc(p3)),
+                               rtol=1e-5, atol=1e-6)
+
+    # dc_forms(): pass-through when grad_dc exists, derivation when not.
+    lp, g = target.dc_forms()
+    assert g is target.grad_dc
+    stripped = dataclasses.replace(target, grad_dc=None)
+    lp2, g2 = stripped.dc_forms()
+    assert lp2 is target.logp_dc and g2 is not None
+    np.testing.assert_allclose(np.asarray(g2(x.T)),
+                               np.asarray(target.grad_dc(x.T)),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_hmc_pallas_runs_from_logp_dc_only():
+    """A target with ONLY logp_dc drives the fused trajectory kernel: the
+    derived gradient traces into the Pallas body and reproduces the
+    hand-written-gradient run draw-for-draw (same threefry stream)."""
+    import dataclasses
+
+    target = rosenbrock_nd()
+    stripped = dataclasses.replace(target, grad_dc=None)
+    a = HMC(target, init_det(8, 3), 0.02, 5, use_pallas=True,
+            pallas_interpret=True).seed(3)
+    b = HMC(stripped, init_det(8, 3), 0.02, 5, use_pallas=True,
+            pallas_interpret=True).seed(3)
+    np.testing.assert_allclose(np.asarray(a.run(10, 0)),
+                               np.asarray(b.run(10, 0)),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_nuts_subtree_kernel_from_logp_dc_only():
+    """The fused subtree kernel built from a derived gradient executes the
+    same deterministic trajectory as one built from the hand-written
+    gradient (identical inputs, identical counter-hash stream)."""
+    from mini_mcmc_tpu.models.base import derive_grad_dc
+    from mini_mcmc_tpu.ops.pallas.nuts_subtree import make_pallas_subtree
+
+    target = rosenbrock_nd()
+    c, d = 1024, 4
+    key = jax.random.PRNGKey(7)
+    pos = 0.5 * jax.random.normal(key, (c, d), jnp.float32)
+    mom = jax.random.normal(jax.random.fold_in(key, 1), (c, d), jnp.float32)
+    grad = jax.vmap(jax.grad(target.logp))(pos)
+    logp0 = target.logp_batch(pos)
+    joint0 = logp0 - 0.5 * jnp.sum(mom * mom, axis=1)
+    logu = joint0 - 1.0
+    v = jnp.ones((c,), jnp.int32)
+    eps = jnp.full((c,), 0.05, jnp.float32)
+    active = jnp.ones((c,), bool)
+    args = (pos, mom, grad, logu, v, jnp.int32(2), eps, joint0, active,
+            jnp.zeros(2, jnp.int32))
+
+    interp = jax.default_backend() != "tpu"
+    hand = make_pallas_subtree(target.grad_dc, target.logp_dc, 6,
+                               interpret=interp)(*args)
+    derived = make_pallas_subtree(derive_grad_dc(target.logp_dc),
+                                  target.logp_dc, 6,
+                                  interpret=interp)(*args)
+    for h, dv in zip(hand, derived):
+        np.testing.assert_allclose(np.asarray(h), np.asarray(dv),
+                                   rtol=1e-4, atol=1e-5)
