@@ -267,4 +267,17 @@ def neal_funnel(scale: float = 3.0) -> Target:
         gx = -x * e
         return jnp.concatenate([gv[None], gx])
 
-    return Target(logp=logp, logp_batch=logp_batch, grad=grad)
+    def logp_dc(p):  # [D, ...] -> [...] (elementwise only; the
+        # per-coordinate sum unrolls over the static row count, so the
+        # fused Pallas tiers run this pathological geometry too —
+        # grad_dc comes from Target.dc_forms()'s AD derivation)
+        v = p[0]
+        d = p.shape[0] - 1
+        emv = jnp.exp(-v)
+        acc = -0.5 * v * v * inv_s2 - 0.5 * d * v
+        for i in range(1, d + 1):
+            acc = acc - 0.5 * p[i] * p[i] * emv
+        return acc
+
+    return Target(logp=logp, logp_batch=logp_batch, grad=grad,
+                  logp_dc=logp_dc)

@@ -504,3 +504,30 @@ def test_nuts_subtree_kernel_from_logp_dc_only():
     for h, dv in zip(hand, derived):
         np.testing.assert_allclose(np.asarray(h), np.asarray(dv),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_neal_funnel_dc_form_and_fused_nuts():
+    """The funnel's dc form matches its batch form; the derived gradient
+    matches the analytic one; and fused NUTS (subtree tier) runs the
+    pathological geometry end-to-end from logp_dc alone."""
+    from mini_mcmc_tpu import NUTS, init_with_seed
+    from mini_mcmc_tpu.models import neal_funnel
+
+    t = neal_funnel()
+    x = jax.random.normal(jax.random.PRNGKey(3), (16, 5), jnp.float32)
+    np.testing.assert_allclose(np.asarray(t.logp_dc(x.T)),
+                               np.asarray(t.logp_batch(x)),
+                               rtol=1e-5, atol=1e-5)
+    _, g_derived = t.dc_forms()
+    np.testing.assert_allclose(np.asarray(g_derived(x.T).T),
+                               np.asarray(jax.vmap(t.grad)(x)),
+                               rtol=1e-5, atol=1e-5)
+
+    # kernel constraint: chain count in multiples of 1024; keep the draw
+    # count tiny (each interpret-mode subtree call is expensive)
+    s = NUTS(t, 0.1 * init_with_seed(1024, 5, seed=4), 0.8, seed=4,
+             max_depth=3, use_pallas=True,
+             pallas_interpret=jax.default_backend() != "tpu")
+    sample = s.run(4, 2)
+    assert sample.shape == (1024, 4, 5)
+    assert bool(jnp.all(jnp.isfinite(sample)))
