@@ -49,9 +49,11 @@ def make_noncentered_target():
     (rows = parameters, lanes = chains; Python-float data constants,
     elementwise ops only) that unlock the fused Pallas NUTS kernels
     (``NUTS(use_pallas=...)``) on this hierarchical posterior — the
-    template for enabling the fused tiers on a user model. The analytic
-    ``grad_dc`` is pinned against autodiff of ``logp_batch`` in
-    ``tests/test_examples.py``.
+    template for enabling the fused tiers on a user model. ``logp_dc``
+    alone would suffice (``Target.dc_forms()`` derives the gradient by
+    AD); the hand-written ``grad_dc`` here is the optional optimization
+    for densities whose value and gradient share subexpressions, pinned
+    against autodiff of ``logp_batch`` in ``tests/test_examples.py``.
     """
     y, sig = jnp.asarray(Y), jnp.asarray(SIGMA)
 
