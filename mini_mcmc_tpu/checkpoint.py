@@ -209,6 +209,17 @@ def restore_sampler(path: str, sampler, *, mesh=None):
             "with the same metric= the checkpoint was saved under"
         )
 
+    # Format migration: checkpoints written before NUTSState grew the
+    # `leapfrogs` counter unflatten with that field's None default; fill
+    # the missing leaf with the -1 'unknown history' sentinel instead of
+    # failing the structural tree_map below with an opaque mismatch.
+    if (hasattr(state, "_replace")
+            and getattr(state, "leapfrogs", 0) is None
+            and getattr(sampler.state, "leapfrogs", None) is not None):
+        state = state._replace(
+            leapfrogs=jnp.full_like(sampler.state.leapfrogs, -1)
+        )
+
     def check_and_cast(ref, new):
         if getattr(ref, "shape", ()) != getattr(new, "shape", ()):
             raise ValueError(

@@ -1,7 +1,14 @@
 """Target distributions, proposals and conditionals (the reference's
 ``distributions`` module, /root/reference/src/distributions.rs)."""
 
-from .base import Conditional, Proposal, Target, derive_grad_dc
+from .base import (
+    Conditional,
+    Proposal,
+    Target,
+    derive_grad_dc,
+    derive_logp_dc,
+    validate_dc_forms,
+)
 from .discrete import (
     Categorical,
     binomial_target,
@@ -32,6 +39,8 @@ __all__ = [
     "Proposal",
     "Target",
     "derive_grad_dc",
+    "derive_logp_dc",
+    "validate_dc_forms",
     "estimate_preconditioner",
     "precondition_target",
     "binomial_target",

@@ -87,15 +87,52 @@ class Target:
     def dc_forms(self):
         """``(logp_dc, grad_dc)`` for the fused Pallas kernels.
 
-        When only ``logp_dc`` is supplied, the gradient is derived with
-        :func:`derive_grad_dc` — writing the density in chains-on-lanes
-        form is enough to unlock every fused kernel tier; a hand-written
-        ``grad_dc`` remains an optional override (it can be cheaper when
-        value and gradient share subexpressions).
+        Every missing form is derived, so a plain ``Target(logp=...)``
+        reaches the fused tiers with zero extra code (the reference's own
+        contract: ONE density definition feeds everything,
+        /root/reference/src/distributions.rs:78-88):
+
+        - no ``logp_dc``: derived from the batch form with
+          :func:`derive_logp_dc` (an in-kernel transpose of the lanes
+          layout — works wherever the batch form's ops Mosaic-lower; a
+          hand-written chains-on-lanes form remains the fast path and the
+          fallback when the compiler rejects the transpose).
+        - no ``grad_dc``: derived from ``logp_dc`` with
+          :func:`derive_grad_dc` (reverse-mode AD); a hand-written
+          ``grad_dc`` remains an optional override (it can be cheaper
+          when value and gradient share subexpressions).
+
+        Hand-written forms are checked against the batch forms at sampler
+        construction (:func:`validate_dc_forms`) so a transposed
+        covariance or dropped term raises instead of silently sampling
+        the wrong posterior through every ``use_pallas`` path.
         """
-        if self.logp_dc is None or self.grad_dc is not None:
-            return self.logp_dc, self.grad_dc
-        return self.logp_dc, derive_grad_dc(self.logp_dc)
+        logp_dc = self.logp_dc
+        if logp_dc is None:
+            logp_dc = derive_logp_dc(self.batch_logp)
+        if self.grad_dc is not None:
+            return logp_dc, self.grad_dc
+        return logp_dc, derive_grad_dc(logp_dc)
+
+
+def derive_logp_dc(batch_logp: Callable) -> Callable:
+    """A chains-on-lanes ``[D, ...] -> [...]`` log density derived from a
+    ``[C, D] -> [C]`` batch form by transposing the lanes layout.
+
+    Inside a Pallas kernel body the moveaxis/reshape lower through Mosaic's
+    relayout path; if compilation of a fused kernel fails with a Mosaic
+    transpose/layout error, supply a hand-written ``Target.logp_dc``
+    (elementwise over the leading D axis) instead — it is also faster, as
+    it avoids the in-kernel relayout entirely.
+    """
+
+    def logp_dc(p):
+        d = p.shape[0]
+        lanes = p.shape[1:]
+        flat = jnp.moveaxis(p, 0, -1).reshape((-1, d))
+        return batch_logp(flat).reshape(lanes)
+
+    return logp_dc
 
 
 def derive_grad_dc(logp_dc: Callable) -> Callable:
@@ -107,6 +144,13 @@ def derive_grad_dc(logp_dc: Callable) -> Callable:
     ``logp_dc`` uses only elementwise/broadcast jnp ops, its transpose is
     also elementwise — the derived gradient traces into Pallas kernel
     bodies exactly like a hand-written one.
+
+    CONTRACT: ``logp_dc`` must treat lanes independently (no reductions
+    over the lane axes — only over the leading D axis). A cross-lane
+    reduction makes the ones-cotangent VJP sum contributions across
+    chains, silently corrupting every gradient; sampler construction
+    catches this by checking the derived gradient against the batch AD
+    gradient (:func:`validate_dc_forms`).
     """
 
     def grad_dc(p):
@@ -115,6 +159,87 @@ def derive_grad_dc(logp_dc: Callable) -> Callable:
         return g
 
     return grad_dc
+
+
+def validate_dc_forms(target: "Target", positions, *, rtol: float = 3e-4,
+                      atol: float = 1e-4, max_rows: int = 256) -> None:
+    """Check hand-written chains-on-lanes forms against the batch forms.
+
+    The fused Pallas tiers evaluate the target ONLY through
+    ``logp_dc``/``grad_dc``; a hand-written form that disagrees with
+    ``logp`` (transposed covariance, dropped term, wrong sign) would
+    silently sample the wrong posterior through every ``use_pallas`` path.
+    This runs once at sampler construction on (up to ``max_rows`` of) the
+    actual initial positions in the ``[D, C]`` lanes layout and raises
+    ``ValueError`` on mismatch. Derived forms are definitionally
+    consistent with the batch form, so a ``Target`` without a hand-written
+    ``logp_dc`` validates trivially; the DERIVED gradient of a
+    hand-written ``logp_dc`` is still checked (it is silently wrong when
+    ``logp_dc`` reduces across lanes — see :func:`derive_grad_dc`).
+
+    Opt out with the samplers' ``validate_dc=False`` (exotic targets whose
+    logp is non-finite at the initial positions, or when construction-time
+    eager evaluation is undesirable).
+    """
+    import numpy as np
+
+    if target.logp_dc is None:
+        return  # derived logp_dc IS the batch form; nothing to disagree
+    x = jnp.asarray(positions)[:max_rows]
+    if x.ndim != 2:
+        raise ValueError(
+            f"positions must be [n_chains, D]; got shape {x.shape}"
+        )
+    x_dc = x.T
+
+    def _fail(form, want, got):
+        err = np.abs(got - want)
+        worst = int(np.nanargmax(np.where(np.isfinite(err), err, np.inf)
+                                 .reshape(-1)))
+        raise ValueError(
+            f"Target.{form} disagrees with the batch form derived from "
+            f"Target.logp/logp_batch on the initial positions: max abs "
+            f"err {np.nanmax(err):.3g} (flat index {worst}: "
+            f"{form}={got.reshape(-1)[worst]:.6g} vs "
+            f"batch={want.reshape(-1)[worst]:.6g}). The fused Pallas "
+            "kernels would sample the WRONG posterior. Fix the "
+            "chains-on-lanes form (or pass validate_dc=False to skip "
+            "this check)."
+        )
+
+    def _mismatch(want, got):
+        both_ninf = np.isneginf(want) & np.isneginf(got)
+        close = np.isclose(got, want, rtol=rtol,
+                           atol=atol * np.maximum(np.abs(want), 1.0))
+        return not np.all(close | both_ninf)
+
+    want_lp = np.asarray(target.batch_logp(x), np.float64)
+    got_lp = np.asarray(target.logp_dc(x_dc), np.float64)
+    if got_lp.shape != want_lp.shape:
+        raise ValueError(
+            f"Target.logp_dc returned shape {got_lp.shape} for a [D, C] "
+            f"input; expected lanes shape {want_lp.shape}"
+        )
+    if _mismatch(want_lp, got_lp):
+        _fail("logp_dc", want_lp, got_lp)
+
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        _, grad_dc = target.dc_forms()
+        _, want_g = target.batch_logp_and_grad(x)
+        want_g = np.asarray(want_g, np.float64)
+        got_g = np.asarray(grad_dc(x_dc), np.float64).T
+        form = "grad_dc" if target.grad_dc is not None else \
+            "grad_dc (derived from logp_dc)"
+        if got_g.shape != want_g.shape:
+            raise ValueError(
+                f"Target.{form} returned transposed shape "
+                f"{got_g.T.shape} for a [D, C] input; expected [D, C] = "
+                f"{want_g.T.shape}"
+            )
+        finite = np.isfinite(want_g)
+        if _mismatch(np.where(finite, want_g, 0.0),
+                     np.where(finite, got_g, 0.0)):
+            _fail(form, want_g, got_g)
 
 
 @dataclasses.dataclass(frozen=True)

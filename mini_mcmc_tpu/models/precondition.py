@@ -152,7 +152,8 @@ def _wrap_dc_forms(target: Target, pre: Preconditioner):
     both maps are unrolled into scalar multiplies with Python-float
     coefficients (like the concrete-coefficient dc forms in
     ``models/gaussian.py``); dims beyond ``_DENSE_DC_MAX_DIM`` leave the dc
-    forms out (``use_pallas`` then raises its usual requirement error).
+    forms out (``use_pallas`` then falls back to the forms
+    ``Target.dc_forms()`` derives from the whitened batch form).
     Coefficients are fetched with ONE host transfer (per-element ``float()``
     on device arrays would round-trip the tunnel D^2 times).
     """

@@ -43,7 +43,9 @@ class NUTS:
             draws, doubling loop with early exit, subtrees, U-turn
             checks) into one hardware-PRNG kernel — the peak-throughput
             tier (TPU-only, ops/pallas/nuts_full.py; ~3x the subtree
-            kernel). Both require ``target.logp_dc``/``grad_dc``.
+            kernel). Missing ``logp_dc``/``grad_dc`` forms are derived
+            (``Target.dc_forms()``); hand-written ones are checked
+            against the batch form at construction (``validate_dc``).
         metric: optional :class:`~mini_mcmc_tpu.models.Preconditioner` —
             runs NUTS in whitened coordinates ``y = L^-1 x`` (equivalent
             to a ``(L L^T)^-1`` mass matrix; beyond-reference, see
@@ -62,8 +64,11 @@ class NUTS:
         pallas_interpret: bool = False,
         warmup_max_depth: Optional[int] = None,
         metric=None,
+        validate_dc: bool = True,
     ):
         import jax.numpy as jnp
+
+        from .models.base import validate_dc_forms
 
         if warmup_max_depth is not None and not (
             1 <= warmup_max_depth <= max_depth
@@ -79,8 +84,13 @@ class NUTS:
         self._ctor = dict(
             target_accept_p=target_accept_p, max_depth=max_depth,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-            warmup_max_depth=warmup_max_depth,
+            warmup_max_depth=warmup_max_depth, validate_dc=validate_dc,
         )
+        if use_pallas and validate_dc:
+            # hand-written chains-on-lanes forms checked once against the
+            # batch form, on the USER's x-space positions (a wrong logp_dc
+            # would silently sample the wrong posterior on fused tiers)
+            validate_dc_forms(target, initial_positions)
         kernel_target, self._positions_map = target, None
         if metric is not None:
             from .models.precondition import precondition_target
@@ -214,10 +224,15 @@ class NUTS:
         doubling loop whether or not its own tree finished earlier
         (ops/nuts.py:21-39). One gradient evaluation per leapfrog (the
         per-step initial gradient and ``find_reasonable_epsilon`` are
-        extra). ``-1`` when ``use_pallas="full"`` (the fused kernel does
-        not report its on-chip loop depth). Divide the per-run delta by
-        the run's steps for grad-evals/draw — the number to weigh against
-        ``ChEESHMC``'s fixed ``traj_len / (2 * step_size)``."""
+        extra). Live on every path including ``use_pallas="full"`` (the
+        fused kernel reports its executed block depth; under its chain
+        blocking, J is constant within each 8k-chain grid block). The
+        counter saturates at ~2.0e9 instead of wrapping int32 — restart
+        accounting before that for exact per-run deltas. ``-1`` only for
+        state restored from a pre-depth-reporting fused checkpoint.
+        Divide the per-run delta by the run's steps for grad-evals/draw —
+        the number to weigh against ``ChEESHMC``'s fixed
+        ``traj_len / (2 * step_size)``."""
         return self.state.leapfrogs
 
     @property

@@ -82,12 +82,9 @@ def hmc_kernel(
     pallas_full = None
     pallas_multistep = None
     if use_pallas:
-        logp_dc, grad_dc = target.dc_forms()  # grad auto-derived by AD
-        if logp_dc is None:
-            raise ValueError(
-                "use_pallas requires target.logp_dc (grad_dc is derived "
-                "when absent)"
-            )
+        # Both forms derive when absent (models/base.py dc_forms): a plain
+        # Target(logp=...) reaches the fused tiers with zero extra code.
+        logp_dc, grad_dc = target.dc_forms()
         if use_pallas == "full":
             # Entire step (momentum RNG + trajectory + accept) on-chip with
             # the hardware PRNG; distribution-identical, different stream.

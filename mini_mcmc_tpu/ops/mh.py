@@ -113,8 +113,9 @@ def mh_kernel(target: Target, proposal: Proposal, *,
                 "MH has no trajectory to fuse separately — the only Pallas "
                 f'variant is use_pallas="full"; got {use_pallas!r}'
             )
-        if target.logp_dc is None:
-            raise ValueError('use_pallas="full" requires target.logp_dc')
+        # logp_dc derives from the batch form when absent (models/base.py
+        # dc_forms): Target(logp=...) alone reaches the fused tier.
+        logp_dc, _ = target.dc_forms()
         if proposal.propose_dc is None or not proposal.symmetric:
             raise ValueError(
                 'use_pallas="full" requires a symmetric proposal with '
@@ -127,12 +128,12 @@ def mh_kernel(target: Target, proposal: Proposal, *,
         # would still be allocated and written — outputs are opaque to
         # XLA DCE).
         pallas_single = make_pallas_mh_multistep(
-            target.logp_dc, proposal.propose_dc, 1,
+            logp_dc, proposal.propose_dc, 1,
             interpret=pallas_interpret, with_history=False,
         )
         if steps_per_call > 1:
             pallas_multistep = make_pallas_mh_multistep(
-                target.logp_dc, proposal.propose_dc, steps_per_call,
+                logp_dc, proposal.propose_dc, steps_per_call,
                 interpret=pallas_interpret,
             )
 

@@ -61,6 +61,11 @@ KAPPA = 0.75
 DIVERGENCE_DELTA = 1000.0
 #: safety cap for find_reasonable_epsilon loops (reference is uncapped)
 _FIND_EPS_MAX_ITERS = 100
+#: saturation ceiling for the int32 cumulative leapfrog counter: leaves
+#: 2^27 headroom so one more increment (any depth_limit <= 27) cannot wrap
+#: negative. A saturated counter stays live and monotone instead of
+#: silently flipping to the -1 'unavailable' sentinel (ADVICE r4).
+_LEAPFROG_SAT = 2**31 - 2**27
 
 
 class NUTSState(NamedTuple):
@@ -78,9 +83,16 @@ class NUTSState(NamedTuple):
     #: step for a J-deep doubling loop) — the lockstep COST including
     #: masked-lane waste, not per-chain useful work; one gradient eval per
     #: leapfrog (the per-step initial grad and the epsilon search are not
-    #: included). The fused full-step Pallas kernel does not report its
-    #: on-chip loop depth: that path pins the whole counter to -1.
-    leapfrogs: jax.Array
+    #: included). Live on every path, including ``use_pallas="full"``
+    #: (the fused kernel reports its executed block depth). Saturates at
+    #: ``_LEAPFROG_SAT`` (~2.0e9) instead of wrapping int32; -1 only for
+    #: states restored from pre-depth-reporting fused-kernel checkpoints.
+    #: The ``None`` default exists ONLY so checkpoints written before this
+    #: field was added still unflatten (their pickled treedef constructs
+    #: the state with one fewer leaf); ``restore_sampler`` fills the
+    #: missing leaf with the -1 'unknown history' sentinel. Every kernel
+    #: constructs it explicitly.
+    leapfrogs: jax.Array = None
 
 
 def _leapfrog1(target: Target, pos, mom, grad, eps):
@@ -595,9 +607,13 @@ def _finish_step(state, target_accept_p, m, position_sel, alpha, n_alpha,
     """Dual averaging + state assembly (nuts.rs:676-691), shared by the
     XLA doubling loop and the fused full-step Pallas kernel.
 
-    ``leapfrog_inc``: this step's executed-leapfrog count (scalar int32;
-    the XLA paths pass it). ``None`` — the fused full-step kernel, whose
-    on-chip loop depth is not reported — pins the counter to -1."""
+    ``leapfrog_inc``: this step's executed-leapfrog count (int32 scalar
+    from the XLA doubling loop, or per-chain ``[C]`` from the fused
+    full-step kernel's reported block depths). ``None`` pins the counter
+    to -1 (no current caller; kept for states restored from pre-depth
+    checkpoints). The accumulate SATURATES at ``_LEAPFROG_SAT`` instead
+    of wrapping int32 (ADVICE r4: a depth-10 tree adds 1023/step, so
+    ~2.1M steps would wrap negative and sticky-pin the -1 sentinel)."""
     dtype = position_sel.dtype
     one = jnp.asarray(1.0, dtype)
     mf = m.astype(dtype)
@@ -617,9 +633,14 @@ def _finish_step(state, target_accept_p, m, position_sel, alpha, n_alpha,
     if leapfrog_inc is None:
         leapfrogs = jnp.full_like(state.leapfrogs, -1)
     else:
-        leapfrogs = jnp.where(
-            state.leapfrogs >= 0, state.leapfrogs + leapfrog_inc, -1
+        sat = jnp.int32(_LEAPFROG_SAT)
+        # below sat the add cannot overflow (headroom >= any increment);
+        # at/above sat the add may wrap, but the outer where discards it
+        bumped = jnp.where(
+            state.leapfrogs >= sat, sat,
+            jnp.minimum(state.leapfrogs + leapfrog_inc, sat),
         )
+        leapfrogs = jnp.where(state.leapfrogs >= 0, bumped, state.leapfrogs)
     return NUTSState(
         positions=position_sel,
         epsilon=epsilon,
@@ -656,12 +677,9 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10,
     pallas_subtree = None
     pallas_step = None
     if use_pallas:
-        logp_dc, grad_dc = target.dc_forms()  # grad auto-derived by AD
-        if logp_dc is None:
-            raise ValueError(
-                "use_pallas requires target.logp_dc (grad_dc is derived "
-                "when absent)"
-            )
+        # Both forms derive when absent (models/base.py dc_forms): a plain
+        # Target(logp=...) reaches the fused tiers with zero extra code.
+        logp_dc, grad_dc = target.dc_forms()
         if use_pallas == "full":
             from .pallas.nuts_full import make_pallas_nuts_step
 
@@ -724,13 +742,18 @@ def nuts_kernel(target: Target, target_accept_p: float, max_depth: int = 10,
 
             m = state.m + 1  # reference increments at step start
             depth_limit = _depth_limit(state, m, max_depth, warmup_max_depth)
-            position_sel, alpha, n_alpha, diverged = pallas_step(
+            position_sel, alpha, n_alpha, diverged, depth = pallas_step(
                 state.positions, state.epsilon, depth_limit,
                 key_to_seed(key),
             )
+            # the kernel reports its executed doubling depth J per lane
+            # (constant within a grid block): the lockstep cost is
+            # 2^J - 1 leapfrogs, same accounting as the XLA loop below —
+            # the counter stays live under use_pallas="full"
+            leapfrog_inc = (jnp.int32(1) << depth.astype(jnp.int32)) - 1
             return _finish_step(
                 state, target_accept_p, m, position_sel, alpha, n_alpha,
-                diverged,
+                diverged, leapfrog_inc=leapfrog_inc,
             )
         return _nuts_step_batched(
             target, target_accept_p, max_depth, state, key,

@@ -56,13 +56,17 @@ def make_pallas_nuts_step(
     """Build the fused full-step function.
 
     Returns ``step(pos [C, D], eps [C], depth_limit int32, seed int32[2])
-    -> (new_pos [C, D], alpha [C], n_alpha [C] f32, diverged [C] f32)``.
-    ``depth_limit`` is the runtime tree-depth cap (the warmup cap,
-    ops/nuts.py); ``alpha``/``n_alpha`` feed dual averaging outside.
+    -> (new_pos [C, D], alpha [C], n_alpha [C] f32, diverged [C] f32,
+    depth [C] f32)``. ``depth_limit`` is the runtime tree-depth cap (the
+    warmup cap, ops/nuts.py); ``alpha``/``n_alpha`` feed dual averaging
+    outside; ``depth`` is the block's executed doubling depth J (the
+    lockstep cost is ``2^J - 1`` leapfrogs per lane — every lane of a
+    grid block pays its block's depth, so the value is constant within a
+    block but can differ across blocks).
     """
 
     def kernel(dl_ref, seed_ref, pos_ref, eps_ref,
-               new_pos_o, alpha_o, n_alpha_o, dvg_o, stack):
+               new_pos_o, alpha_o, n_alpha_o, dvg_o, depth_o, stack):
         d = pos_ref.shape[0]
         lanes = pos_ref.shape[1:]  # (8, bc8)
         depth_limit = dl_ref[0]
@@ -170,6 +174,10 @@ def make_pallas_nuts_step(
         alpha_o[:] = alpha
         n_alpha_o[:] = n_alpha
         dvg_o[:] = dvg
+        # executed doubling depth, broadcast over the block's lanes in the
+        # loaded layout (zeros carries it; a fresh splat would be
+        # replicated-layout and trip Mosaic's relayout checks)
+        depth_o[:] = zeros + _j.astype(jnp.float32)
 
     @functools.partial(jax.jit, static_argnames=())
     def step(pos, eps, depth_limit, seed):
@@ -204,13 +212,14 @@ def make_pallas_nuts_step(
                                      memory_space=pltpu.SMEM)
 
         f32 = jnp.float32
-        pos_o, alpha_o, n_alpha_o, dvg_o = pl.pallas_call(
+        pos_o, alpha_o, n_alpha_o, dvg_o, depth_o = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[dl_spec, seed_spec, dc_spec, lp_spec],
-            out_specs=(dc_spec, lp_spec, lp_spec, lp_spec),
+            out_specs=(dc_spec, lp_spec, lp_spec, lp_spec, lp_spec),
             out_shape=(
                 jax.ShapeDtypeStruct(shape3, dtype),
+                jax.ShapeDtypeStruct(lanes, f32),
                 jax.ShapeDtypeStruct(lanes, f32),
                 jax.ShapeDtypeStruct(lanes, f32),
                 jax.ShapeDtypeStruct(lanes, f32),
@@ -230,6 +239,7 @@ def make_pallas_nuts_step(
             alpha_o.reshape(c),
             n_alpha_o.reshape(c),
             dvg_o.reshape(c),
+            depth_o.reshape(c),
         )
 
     return step

@@ -211,20 +211,21 @@ def tempering_kernel(target: Target, betas: Sequence[float], *,
                 "tempering has no trajectory to fuse separately — the only "
                 f'Pallas variant is use_pallas="full"; got {use_pallas!r}'
             )
-        if target.logp_dc is None:
-            raise ValueError('use_pallas="full" requires target.logp_dc')
+        # logp_dc derives from the batch form when absent (models/base.py
+        # dc_forms): Target(logp=...) alone reaches the fused tier.
+        fused_logp_dc, _ = target.dc_forms()
         from .pallas.tempering_full import make_pallas_pt_multistep
 
         # K=1 driver: compile the history output out (the returned cold
         # positions ARE the step's sample row; pallas outputs are opaque
         # to XLA DCE).
         pallas_single = make_pallas_pt_multistep(
-            target.logp_dc, betas, proposal_std, 1, n_inner=n_inner,
+            fused_logp_dc, betas, proposal_std, 1, n_inner=n_inner,
             interpret=pallas_interpret, with_history=False,
         )
         if steps_per_call > 1:
             pallas_multistep = make_pallas_pt_multistep(
-                target.logp_dc, betas, proposal_std, steps_per_call,
+                fused_logp_dc, betas, proposal_std, steps_per_call,
                 n_inner=n_inner, interpret=pallas_interpret,
             )
 

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from . import stats as stats_mod
-from .models.base import Conditional, Proposal, Target
+from .models.base import Conditional, Proposal, Target, validate_dc_forms
 from .ops.elliptical import elliptical_kernel
 from .ops.ensemble import ensemble_kernel
 from .ops.gibbs import gibbs_kernel
@@ -193,7 +193,8 @@ class MetropolisHastings(_KernelSampler):
 
     def __init__(self, target: Target, proposal: Proposal, initial_positions,
                  seed: Optional[int] = None, use_pallas=False,
-                 steps_per_call: int = 1, pallas_interpret: bool = False):
+                 steps_per_call: int = 1, pallas_interpret: bool = False,
+                 validate_dc: bool = True):
         self.target = target
         self.proposal = proposal
         #: proposal scale factor vs. the originally constructed proposal
@@ -201,7 +202,13 @@ class MetropolisHastings(_KernelSampler):
         self.scale_factor = 1.0
         self._ctor = dict(use_pallas=use_pallas,
                           steps_per_call=steps_per_call,
-                          pallas_interpret=pallas_interpret)
+                          pallas_interpret=pallas_interpret,
+                          validate_dc=validate_dc)
+        if use_pallas and validate_dc:
+            # hand-written chains-on-lanes forms checked against the batch
+            # form once, at construction — a wrong logp_dc would silently
+            # sample the wrong posterior through every fused tier
+            validate_dc_forms(target, initial_positions)
         init_fn, step_fn = mh_kernel(target, proposal,
                                      use_pallas=use_pallas,
                                      steps_per_call=steps_per_call,
@@ -277,7 +284,8 @@ class HMC(_KernelSampler):
                  n_leapfrog: int, seed: Optional[int] = None,
                  unroll: int = 8, use_pallas: bool = False,
                  pallas_interpret: bool = False, jitter: float = 0.0,
-                 steps_per_call: int = 1, metric=None):
+                 steps_per_call: int = 1, metric=None,
+                 validate_dc: bool = True):
         self.target = target
         self.step_size = step_size
         self.n_leapfrog = n_leapfrog
@@ -285,7 +293,13 @@ class HMC(_KernelSampler):
         self._ctor = dict(step_size=step_size, n_leapfrog=n_leapfrog,
                           unroll=unroll, use_pallas=use_pallas,
                           pallas_interpret=pallas_interpret, jitter=jitter,
-                          steps_per_call=steps_per_call)
+                          steps_per_call=steps_per_call,
+                          validate_dc=validate_dc)
+        if use_pallas and validate_dc:
+            # validate the USER target on x-space positions (before any
+            # metric whitening): the whitened wrapper only composes with
+            # the hand-written form, so user errors surface here
+            validate_dc_forms(target, initial_positions)
         kernel_target, positions_map = target, None
         if metric is not None:
             from .models.precondition import precondition_target
@@ -441,12 +455,13 @@ class MALA(HMC):
     def __init__(self, target: Target, initial_positions, step_size: float,
                  seed: Optional[int] = None, use_pallas: bool = False,
                  pallas_interpret: bool = False, steps_per_call: int = 1,
-                 metric=None):
+                 metric=None, validate_dc: bool = True):
         super().__init__(target, initial_positions, step_size,
                          n_leapfrog=1, seed=seed, unroll=1,
                          use_pallas=use_pallas,
                          pallas_interpret=pallas_interpret,
-                         steps_per_call=steps_per_call, metric=metric)
+                         steps_per_call=steps_per_call, metric=metric,
+                         validate_dc=validate_dc)
 
     @classmethod
     def _construct(cls, target, positions, metric, seed, ctor):
@@ -648,7 +663,7 @@ class ParallelTempering(_KernelSampler):
                  betas: Optional[tuple] = None, proposal_std=1.0,
                  n_inner: int = 1, seed: Optional[int] = None,
                  steps_per_call: int = 1, use_pallas=False,
-                 pallas_interpret: bool = False):
+                 pallas_interpret: bool = False, validate_dc: bool = True):
         self.target = target
         if betas is None:
             betas = geometric_betas(8)
@@ -656,7 +671,10 @@ class ParallelTempering(_KernelSampler):
         self._ctor = dict(proposal_std=proposal_std, n_inner=n_inner,
                           steps_per_call=steps_per_call,
                           use_pallas=use_pallas,
-                          pallas_interpret=pallas_interpret)
+                          pallas_interpret=pallas_interpret,
+                          validate_dc=validate_dc)
+        if use_pallas and validate_dc:
+            validate_dc_forms(target, initial_positions)
         n_cold = jnp.shape(jnp.asarray(initial_positions))[0]
         self._n_cold = int(n_cold)
         init_fn, step_fn = tempering_kernel(

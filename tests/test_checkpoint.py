@@ -219,3 +219,33 @@ def test_metric_sampler_checkpoint_roundtrip_and_mismatch_guard():
         save_sampler(_ckpt_path(tmp) + "2", plain)
         with pytest.raises(ValueError, match="metric"):
             restore_sampler(_ckpt_path(tmp) + "2", a)
+
+
+def test_nuts_checkpoint_missing_leapfrogs_leaf_migrates(tmp_path):
+    """ADVICE r4: checkpoints written before NUTSState grew `leapfrogs`
+    unflatten via the field's None default; restore_sampler must fill the
+    missing leaf with the -1 'unknown history' sentinel instead of
+    failing the structural tree_map with an opaque mismatch."""
+    from mini_mcmc_tpu import NUTS
+    from mini_mcmc_tpu.checkpoint import restore_sampler, save_checkpoint
+    from mini_mcmc_tpu.models import diffable_gaussian2d
+
+    target = diffable_gaussian2d([0.0, 1.0], [[4.0, 2.0], [2.0, 3.0]])
+    s = NUTS(target, init_det(4, 2), 0.8).seed(1)
+    s.run(5, 2)
+    # simulate the pre-field checkpoint: the leaf absent from the pytree
+    old_state = s.state._replace(leapfrogs=None)
+    path = str(tmp_path / "old_nuts")
+    save_checkpoint(path, old_state, s._key)
+
+    fresh = NUTS(target, init_det(4, 2), 0.8).seed(9)
+    restore_sampler(path, fresh)
+    assert np.all(np.asarray(fresh.state.leapfrogs) == -1)
+    np.testing.assert_allclose(np.asarray(fresh.positions),
+                               np.asarray(s.positions))
+    # the sentinel persists through further runs (unknown history stays
+    # unknown) and the sampler still works
+    sample = fresh.run(3, 0)
+    assert sample.shape == (4, 3, 2)
+    assert np.all(np.asarray(fresh.leapfrogs) == -1)
+    assert np.all(np.asarray(fresh.last_run_leapfrogs) == -1)

@@ -315,3 +315,54 @@ def test_nuts_leapfrog_accounting():
     # 2^max_depth tree cap
     per_draw = (lf2[0] - lf1[0]) / 39
     assert 1.0 <= per_draw <= 2.0**10, per_draw
+
+
+def test_leapfrog_counter_saturates_instead_of_wrapping():
+    """ADVICE r4: the int32 cumulative counter must saturate at
+    _LEAPFROG_SAT, not wrap negative (a wrap would sticky-pin the -1
+    'unavailable' sentinel on long production runs)."""
+    from mini_mcmc_tpu.ops.nuts import _LEAPFROG_SAT, NUTSState, _finish_step
+
+    def state_with(lf):
+        c = 4
+        f = jnp.float32
+        return NUTSState(
+            positions=jnp.zeros((c, 2), f),
+            epsilon=jnp.full((c,), 0.5, f),
+            epsilon_bar=jnp.ones((c,), f),
+            h_bar=jnp.zeros((c,), f),
+            mu=jnp.zeros((c,), f),
+            m=jnp.full((c,), 5, jnp.int32),
+            n_discard=jnp.zeros((c,), jnp.int32),
+            divergences=jnp.zeros((c,), jnp.int32),
+            leapfrogs=jnp.full((c,), lf, jnp.int32),
+        )
+
+    def bump(state, inc):
+        c = state.positions.shape[0]
+        out = _finish_step(
+            state, 0.8, state.m + 1, state.positions,
+            jnp.ones((c,), jnp.float32), jnp.ones((c,), jnp.int32),
+            jnp.zeros((c,), bool), leapfrog_inc=jnp.int32(inc),
+        )
+        return np.asarray(out.leapfrogs)
+
+    # normal accumulation far from the ceiling
+    assert np.all(bump(state_with(100), 1023) == 1123)
+    # one increment below the ceiling: clamps to the ceiling, stays >= 0
+    near = _LEAPFROG_SAT - 10
+    assert np.all(bump(state_with(near), 1023) == _LEAPFROG_SAT)
+    # at the ceiling: stays pinned (no wrap, no negative)
+    assert np.all(bump(state_with(_LEAPFROG_SAT), 1023) == _LEAPFROG_SAT)
+    # the -1 'unknown history' sentinel stays -1
+    assert np.all(bump(state_with(-1), 1023) == -1)
+    # per-chain [C] increments (the fused kernel's form) accumulate too
+    c_state = state_with(10)
+    out = _finish_step(
+        c_state, 0.8, c_state.m + 1, c_state.positions,
+        jnp.ones((4,), jnp.float32), jnp.ones((4,), jnp.int32),
+        jnp.zeros((4,), bool),
+        leapfrog_inc=jnp.array([1, 3, 7, 15], jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(out.leapfrogs),
+                                  [11, 13, 17, 25])
