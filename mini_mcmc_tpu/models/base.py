@@ -180,12 +180,32 @@ def validate_dc_forms(target: "Target", positions, *, rtol: float = 3e-4,
     Opt out with the samplers' ``validate_dc=False`` (exotic targets whose
     logp is non-finite at the initial positions, or when construction-time
     eager evaluation is undesirable).
+
+    The probe runs on the CPU backend when one is available: on TPU the
+    two forms take different compute paths (hand-written dc forms are
+    unrolled scalar ops; batch forms ride the MXU, whose float32 matmul
+    noise is ~1e-3 relative) and would need tolerances loose enough to
+    mask real dropped-term bugs. CPU evaluation is a handful of tiny
+    batches — construction-time cost is negligible either way.
     """
+    import contextlib
+
     import numpy as np
 
     if target.logp_dc is None:
         return  # derived logp_dc IS the batch form; nothing to disagree
-    x = jnp.asarray(positions)[:max_rows]
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # pragma: no cover - cpu backend always present
+        ctx = contextlib.nullcontext()
+    with ctx:
+        _validate_dc_forms_impl(target, positions, np, rtol, atol, max_rows)
+
+
+def _validate_dc_forms_impl(target, positions, np, rtol, atol, max_rows):
+    # round-trip through host: committed device arrays would otherwise pin
+    # the probe back onto their own (TPU) device despite default_device
+    x = jnp.asarray(np.asarray(positions)[:max_rows])
     if x.ndim != 2:
         raise ValueError(
             f"positions must be [n_chains, D]; got shape {x.shape}"

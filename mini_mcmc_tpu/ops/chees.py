@@ -187,6 +187,10 @@ def chees_adapt(
 
     Returns ``(state, eps, traj_len, trace)`` with
     ``trace = {"alpha": [n_adapt], "traj_len": [n_adapt], "eps": [n_adapt]}``.
+    ``eps``/``traj_len`` are scalar jax arrays (not Python floats), so the
+    whole adaptation is jittable/lowerable — e.g. for the sharded-warmup
+    collective proofs in tests/test_parallel.py; cast with ``float()``
+    before baking them into kernel closures (``ChEESHMC.warmed_up`` does).
     """
     if n_adapt < 1:
         raise ValueError(f"n_adapt must be >= 1, got {n_adapt}")
@@ -248,12 +252,8 @@ def chees_adapt(
     carry, (alphas, t_trace, eps_trace) = lax.scan(
         body, init, jnp.arange(1, n_adapt + 1)
     )
-    eps = float(jnp.exp(carry.log_eps_bar))
-    traj_len = float(
-        jnp.clip(
-            jnp.exp(carry.log_T_bar), eps, eps * max_leapfrog
-        )
-    )
+    eps = jnp.exp(carry.log_eps_bar)
+    traj_len = jnp.clip(jnp.exp(carry.log_T_bar), eps, eps * max_leapfrog)
     trace = {"alpha": alphas, "traj_len": t_trace, "eps": eps_trace}
     return carry.state, eps, traj_len, trace
 

@@ -559,6 +559,10 @@ class ChEESHMC(_KernelSampler):
             self.step_size, self.traj_len, target_accept=target_accept,
             adam_lr=adam_lr, max_leapfrog=self.max_leapfrog,
         )
+        # float(): the adapted values enter the new kernel's closures as
+        # compile-time constants, not captured device arrays (the
+        # MetropolisHastings.tuned convention)
+        eps, traj_len = float(eps), float(traj_len)
         positions = (
             state.positions if self.metric is None
             else self.metric.to_x(state.positions)
