@@ -31,13 +31,31 @@ from .precondition import (
     precondition_target,
 )
 from .rosenbrock import rosenbrock2d, rosenbrock_nd
+from .transforms import (
+    Bijector,
+    CoordinateTransform,
+    identity,
+    interval,
+    lower_bounded,
+    positive,
+    transformed_target,
+    upper_bounded,
+)
 
 __all__ = [
+    "Bijector",
     "Categorical",
     "Conditional",
+    "CoordinateTransform",
     "Preconditioner",
     "Proposal",
     "Target",
+    "identity",
+    "interval",
+    "lower_bounded",
+    "positive",
+    "transformed_target",
+    "upper_bounded",
     "derive_grad_dc",
     "derive_logp_dc",
     "validate_dc_forms",

@@ -332,6 +332,13 @@ def _build_subtree_batched(
         alpha_leaf = jnp.minimum(
             jnp.asarray(1.0, dtype), jnp.exp(joint - joint_0)
         )
+        # NaN joint (inf kinetic energy on a wild excursion, e.g. during
+        # early adaptation on a stiff target): the leaf is already a
+        # divergence via the s_leaf comparison below, but a NaN alpha
+        # would poison the dual-averaging h_bar and pin epsilon to NaN
+        # FOREVER (one bad step freezes the chain). Count it as 0
+        # acceptance, the ops/hmc.py convention.
+        alpha_leaf = jnp.where(jnp.isnan(alpha_leaf), 0.0, alpha_leaf)
 
         live = active & s_run
         n_tot = n_tot + jnp.where(live, n_leaf, 0)

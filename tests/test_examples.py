@@ -40,6 +40,7 @@ def _run_example(name):
         "sharded_chains",
         "sgld_minibatch_logreg",
         "sgld_data_parallel",
+        "constrained_transforms",
     ],
 )
 def test_example(name):

@@ -1,0 +1,225 @@
+"""Constrained-parameter transform layer (models/transforms.py).
+
+The reference never needs constraints (all its targets are unconstrained,
+/root/reference/src/distributions.rs); the transform layer is the
+beyond-reference machinery that makes positivity/interval constraints
+first-class instead of the hand-rolled ``exp`` reparameterization in
+examples/eight_schools_nuts.py — which doubles as the exact functional pin
+here: the transformed CENTERED eight-schools density must equal the
+example's hand-written log_tau form identically.
+"""
+
+import importlib.util
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mini_mcmc_tpu import HMC, NUTS, init_det, init_with_seed
+from mini_mcmc_tpu.models import (
+    CoordinateTransform,
+    interval,
+    lower_bounded,
+    positive,
+    transformed_target,
+    upper_bounded,
+)
+from mini_mcmc_tpu.models.base import Target, validate_dc_forms
+
+
+def _load_es8():
+    spec = importlib.util.spec_from_file_location(
+        "es8_tf", os.path.join(os.path.dirname(__file__), "..",
+                               "examples", "eight_schools_nuts.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bijector_roundtrips_and_log_det_matches_ad():
+    y = jnp.linspace(-3.0, 3.0, 41)
+    for bij in (positive(), lower_bounded(-2.0), upper_bounded(5.0),
+                interval(-1.0, 3.0)):
+        x = bij.forward(y)
+        np.testing.assert_allclose(np.asarray(bij.inverse(x)),
+                                   np.asarray(y), rtol=1e-5, atol=1e-5)
+        # log|dx/dy| against AD of the forward map
+        d = jax.vmap(jax.grad(lambda s: bij.forward(s)))(y)
+        np.testing.assert_allclose(np.asarray(bij.log_det(y)),
+                                   np.log(np.abs(np.asarray(d))),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_interval_validates_bounds():
+    with pytest.raises(ValueError, match="high > low"):
+        interval(2.0, 2.0)
+
+
+def test_coordinate_transform_maps_and_masks():
+    tf = CoordinateTransform({0: positive(), 2: interval(0.0, 1.0)}, dim=3)
+    y = jnp.array([[0.5, -1.2, 0.3], [-0.4, 2.0, -2.0]])
+    x = tf.to_x(y)
+    np.testing.assert_allclose(np.asarray(x[:, 0]),
+                               np.exp(np.asarray(y[:, 0])), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(x[:, 1]), np.asarray(y[:, 1]))
+    assert np.all((np.asarray(x[:, 2]) > 0) & (np.asarray(x[:, 2]) < 1))
+    # inverse round-trip through the masked application
+    np.testing.assert_allclose(np.asarray(tf.to_y(x)), np.asarray(y),
+                               rtol=1e-5, atol=1e-6)
+    # log_det = sum of the constrained coordinates' terms only
+    expect = np.asarray(y[:, 0]) + np.asarray(
+        interval(0.0, 1.0).log_det(y[:, 2]))
+    np.testing.assert_allclose(np.asarray(tf.log_det(y)), expect, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="dim is required"):
+        CoordinateTransform({0: positive()})
+    with pytest.raises(ValueError, match="out of range"):
+        CoordinateTransform({5: positive()}, dim=3)
+
+
+def test_wrap_matches_manual_change_of_variables():
+    """Exponential(1) through positive(): logp_y = -exp(y) + y, and the
+    wrapped analytic gradient equals AD."""
+    target_x = Target(logp=lambda x: -x[0], grad=lambda x: -jnp.ones_like(x))
+    wrapped, tf = transformed_target(target_x, [positive()])
+    y = jnp.array([0.7])
+    np.testing.assert_allclose(float(wrapped.logp(y)),
+                               float(-jnp.exp(y[0]) + y[0]), rtol=1e-6)
+    g_ad = jax.grad(lambda v: -jnp.exp(v[0]) + v[0])(y)
+    np.testing.assert_allclose(np.asarray(wrapped.grad(y)),
+                               np.asarray(g_ad), rtol=1e-6)
+    # batch form agrees with vmap of logp
+    ys = jnp.linspace(-1.0, 1.0, 8)[:, None]
+    np.testing.assert_allclose(np.asarray(wrapped.batch_logp(ys)),
+                               np.asarray(jax.vmap(wrapped.logp)(ys)),
+                               rtol=1e-6)
+
+
+def test_transformed_centered_eight_schools_equals_handwritten():
+    """The example's centered target hand-rolls tau = exp(log_tau) with the
+    +log_tau Jacobian; building the same model in NATURAL (tau > 0)
+    coordinates and wrapping coordinate 1 with positive() must reproduce
+    that density IDENTICALLY — the 'stop hand-rolling exp' contract."""
+    es8 = _load_es8()
+    y_obs, sig = jnp.asarray(es8.Y), jnp.asarray(es8.SIGMA)
+
+    def logp_natural(params):  # [C, 10] with tau = params[:, 1] > 0
+        mu, tau, theta = params[:, :1], params[:, 1:2], params[:, 2:]
+        loglik = -0.5 * jnp.sum(((y_obs - theta) / sig) ** 2, axis=1)
+        logp_theta = (-0.5 * jnp.sum(((theta - mu) / tau) ** 2, axis=1)
+                      - 8.0 * jnp.log(tau[:, 0]))
+        logp_mu = -0.5 * (mu[:, 0] / es8.MU_PRIOR_STD) ** 2
+        return (loglik + logp_theta + logp_mu
+                + es8._log_half_cauchy(tau[:, 0]))
+
+    natural = Target(logp=lambda p: logp_natural(p[None, :])[0],
+                     logp_batch=logp_natural)
+    wrapped, _tf = transformed_target(natural, {1: positive()}, dim=10)
+    hand = es8.make_centered_target()
+
+    ys = 0.5 * jax.random.normal(jax.random.PRNGKey(0), (64, 10))
+    np.testing.assert_allclose(np.asarray(wrapped.batch_logp(ys)),
+                               np.asarray(hand.batch_logp(ys)),
+                               rtol=1e-5, atol=1e-5)
+    # ...and the gradients (AD through the transform vs AD through the
+    # hand-written log-space density)
+    _, g_w = wrapped.batch_logp_and_grad(ys)
+    _, g_h = hand.batch_logp_and_grad(ys)
+    np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_h),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_transformed_noncentered_eight_schools_recovers_exact_moments():
+    """End-to-end: the non-centered model written in NATURAL tau > 0
+    coordinates + positive() transform, sampled with NUTS, recovers the
+    quadrature-exact posterior means (the example's gate, via the
+    transform layer instead of the hand-rolled log_tau)."""
+    es8 = _load_es8()
+    y_obs, sig = jnp.asarray(es8.Y), jnp.asarray(es8.SIGMA)
+
+    def logp_natural(params):  # [C, 10]: [mu, tau>0, eta_1..8]
+        mu, tau, eta = params[:, :1], params[:, 1:2], params[:, 2:]
+        theta = mu + tau * eta
+        loglik = -0.5 * jnp.sum(((y_obs - theta) / sig) ** 2, axis=1)
+        logp_eta = -0.5 * jnp.sum(eta * eta, axis=1)
+        logp_mu = -0.5 * (mu[:, 0] / es8.MU_PRIOR_STD) ** 2
+        return (loglik + logp_eta + logp_mu
+                + es8._log_half_cauchy(tau[:, 0]))
+
+    natural = Target(logp=lambda p: logp_natural(p[None, :])[0],
+                     logp_batch=logp_natural)
+    wrapped, tf = transformed_target(natural, {1: positive()}, dim=10)
+
+    s = NUTS(wrapped, init_with_seed(64, 10, seed=3), 0.8).seed(3)
+    s.run(0, 400)
+    sample = s.run(600, 100)
+    x = np.asarray(tf.to_x(sample)).reshape(-1, 10)
+    exact_mu, exact_tau = es8.exact_posterior_means()
+    assert abs(float(x[:, 0].mean()) - exact_mu) < 0.3
+    assert abs(float(x[:, 1].mean()) - exact_tau) < 0.5
+    assert np.all(x[:, 1] > 0)  # tau always in its natural range
+
+
+def test_wrapped_dc_forms_validate_and_run_fused():
+    """A constrained target WITH hand-written dc forms keeps them through
+    the transform (per-row composition) — checked by the same
+    construction-time validator the samplers run, then driven through the
+    fused trajectory kernel in interpreter mode."""
+    # x0 > 0 scale, x1 unconstrained location: logp = -x0 - (x1/x0)^2 / 2
+    def logp_batch(xs):
+        return -xs[:, 0] - 0.5 * (xs[:, 1] / xs[:, 0]) ** 2
+
+    target = Target(
+        logp=lambda x: -x[0] - 0.5 * (x[1] / x[0]) ** 2,
+        logp_batch=logp_batch,
+        logp_dc=lambda p: -p[0] - 0.5 * (p[1] / p[0]) ** 2,
+    )
+    wrapped, tf = transformed_target(target, {0: positive()}, dim=2)
+    assert wrapped.logp_dc is not None
+    pos = init_det(16, 2)
+    validate_dc_forms(wrapped, pos)  # wrapped dc form == wrapped batch form
+
+    fused = HMC(wrapped, pos, 0.05, 3, use_pallas=True,
+                pallas_interpret=True).seed(5).run(10, 5)
+    ref = HMC(wrapped, pos, 0.05, 3).seed(5).run(10, 5)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    assert np.all(np.asarray(tf.to_x(fused))[:, :, 0] > 0)
+
+
+def test_grad_dc_composition_through_transform():
+    import dataclasses
+
+    def logp_batch(xs):
+        return -xs[:, 0] - 0.5 * (xs[:, 1] / xs[:, 0]) ** 2
+
+    base = Target(
+        logp=lambda x: -x[0] - 0.5 * (x[1] / x[0]) ** 2,
+        logp_batch=logp_batch,
+        logp_dc=lambda p: -p[0] - 0.5 * (p[1] / p[0]) ** 2,
+    )
+    # hand dc gradient for the base density
+    base = dataclasses.replace(
+        base,
+        grad_dc=lambda p: jnp.stack(
+            [-1.0 + (p[1] ** 2) / (p[0] ** 3), -p[1] / (p[0] ** 2)]
+        ),
+    )
+    wrapped, _ = transformed_target(base, {0: positive()}, dim=2)
+    assert wrapped.grad_dc is not None
+    y = jax.random.normal(jax.random.PRNGKey(1), (16, 2))
+    _, want = wrapped.batch_logp_and_grad(y)
+    got = wrapped.grad_dc(y.T).T
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_identity_transform_is_passthrough():
+    t = Target(logp=lambda x: -0.5 * jnp.sum(x * x))
+    wrapped, tf = transformed_target(t, {}, dim=4)
+    assert wrapped is t and tf.is_identity
+    y = jnp.ones((2, 4))
+    np.testing.assert_array_equal(np.asarray(tf.to_x(y)), np.asarray(y))
