@@ -412,6 +412,7 @@ def bench_mh_gauss2d() -> dict:
         "elapsed_s": elapsed,
         "draws_per_sec": c * n / elapsed,
         "ess_per_sec": ess_mean / elapsed,
+        "ess_mean": ess_mean,
         "rhat_mean": rhat_mean,
         "quality_gate": "passed",
     }
@@ -527,6 +528,76 @@ def bench_extras() -> dict:
         "var": v,
         "quality_gate": "passed",
     }
+
+    # TPU-shaped high-dim stage (VERDICT r4 weak #3): the 6-chain config
+    # above is reference-parity but pure dispatch latency (~240 KB state);
+    # this one measures how the framework scales in D at a real batch
+    # size — 1,024 chains x d=10,000 (41 MB state, 5.2 GB sample cube) is
+    # BANDWIDTH-bound: the pos/mom/grad state streams through HBM once
+    # per unrolled leapfrog group (the opposite regime from the
+    # VPU/overhead-bound tiny-D flagship). eps,L follow the
+    # d^(-1/4)/d^(1/4) scaling rule for iid targets.
+    c_hd, d_hd, n_hd, l_hd, eps_hd = 1024, 10_000, 128, 10, 0.1
+    hmc = HMC(standard_normal(), init_with_seed(c_hd, d_hd, seed=2),
+              eps_hd, l_hd).seed(2)
+    _sync(hmc.run(n_hd, n_hd, time_major=True))  # burn + the one compile
+    sample, elapsed = _timed_best(
+        lambda: _sync(hmc.run(n_hd, n_hd, time_major=True)))
+    # Diagnostics on a contiguous 1,024-parameter slice: the FFT autocov
+    # pads draws to a pow2 and batches over params, so the FULL cube's
+    # diagnostics program materializes a [2C, pad, D] complex array —
+    # ~21 GB at D=10,000 (RESOURCE_EXHAUSTED on 16 GB HBM, found on
+    # hardware). Coordinates are iid here, so a contiguous slice (never a
+    # strided gather — CLAUDE.md lane-padding trap) is an unbiased gate;
+    # the moment gates below still cover every coordinate.
+    from jax import lax as _lax
+
+    d_diag = 1024
+    sub = _lax.slice(sample, (0, 0, 0), (n_hd, c_hd, d_diag))
+    rhat, ess = split_rhat_mean_ess(sub, time_major=True)
+    ess_mean = float(jnp.mean(ess))
+    rhat_mean = float(jnp.mean(rhat))
+    m = float(jnp.mean(sample))
+    v = float(jnp.var(sample))
+    _gate("hmc10k-1024c mean", abs(m) < 0.02, m)
+    _gate("hmc10k-1024c var", abs(v - 1.0) < 0.05, v)
+    _gate("hmc10k-1024c rhat", 0.95 <= rhat_mean <= 1.05, rhat_mean)
+    _gate("hmc10k-1024c ess floor", ess_mean >= 0.02 * c_hd * n_hd,
+          (ess_mean, c_hd * n_hd))
+    steps = 2 * n_hd  # run(n, n) = 2n sampler steps
+    leapfrogs_per_sec = steps * l_hd / elapsed
+    state_bytes = c_hd * d_hd * 4
+    # HBM model: the leapfrog scan unrolls (ops/hmc.py unroll=8), so XLA
+    # fuses ~unroll integrator bodies into one kernel and the pos/mom/grad
+    # state round-trips HBM once per unrolled GROUP (3 reads + 3 writes of
+    # the [C, D] f32 state), not per leapfrog — the first artifact with a
+    # per-leapfrog model read an impossible 3.3x of HBM peak; this one
+    # measures ~0.4x, i.e. genuinely bandwidth-dominated.
+    eff_unroll = min(8, l_hd)
+    hbm_bytes_per_sec = leapfrogs_per_sec / eff_unroll * 6 * state_bytes
+    out["hmc_d10000_1024c"] = {
+        "config": f"standard normal d={d_hd} HMC, {c_hd} chains, "
+        f"eps={eps_hd} L={l_hd}, {n_hd}+{n_hd} draws, time-major",
+        "elapsed_s": elapsed,
+        "steps_per_sec": steps / elapsed,
+        "draws_per_sec": steps * c_hd / elapsed,
+        "coordinate_updates_per_sec": steps * c_hd * d_hd / elapsed,
+        "grad_evals_per_sec": steps * c_hd * l_hd / elapsed,
+        "ess_mean": ess_mean,
+        "rhat_mean": rhat_mean,
+        "mean": m,
+        "var": v,
+        "roofline": {
+            "state_bytes": state_bytes,
+            "est_hbm_bytes_per_sec": hbm_bytes_per_sec,
+            "frac_of_hbm_peak": hbm_bytes_per_sec / _PEAK_HBM_BPS,
+            "verdict": "large-D HMC is HBM-bound (pos/mom/grad stream "
+            "through HBM once per unrolled leapfrog group); the tiny-D "
+            "flagship is overhead-bound — two different rooflines, both "
+            "measured",
+        },
+        "quality_gate": "passed",
+    }
     return out
 
 
@@ -597,6 +668,7 @@ def bench_beyond(out: dict | None = None) -> dict:
         "elapsed_s": elapsed,
         "draws_per_sec": cm * nm / elapsed,
         "ess_per_sec": ess_mean / elapsed,
+        "ess_mean": ess_mean,
         "eps_tuned": eps_tuned,
         "rhat_mean": rhat_mean,
         "quality_gate": "passed",
@@ -640,6 +712,7 @@ def bench_beyond(out: dict | None = None) -> dict:
         "draws_per_sec": cc * nc / elapsed,
         "ess_per_sec": ess_mean / elapsed,
         "ess_min_per_sec": ess_min / elapsed,
+        "ess_mean": ess_mean,
         "eps_tuned": float(ch.step_size),
         "traj_len_tuned": float(ch.traj_len),
         "rhat_mean": rhat_mean,
@@ -1221,18 +1294,55 @@ def bench_eight_schools() -> dict:
                                         float(jnp.mean(rhat)), ess_min)
         _gate("8schools nuts-fused steady-state divergence rate",
               div_rate_f <= 2e-3, div_rate_f)
+        hand_rate = ess_mean / elapsed
         out["nuts_fused_full"] = {
             "config": "same posterior, NUTS.warmed_up(diag) with the "
             "fully-fused step kernel (use_pallas='full') on the "
             "example's hand-written dc forms",
             "elapsed_s": elapsed,
-            "ess_per_sec": ess_mean / elapsed,
+            "ess_per_sec": hand_rate,
             "ess_mean": ess_mean,
             "ess_min": ess_min,
             "rhat_mean": float(jnp.mean(rhat)),
             "mu_hat": mu_hat,
             "tau_hat": tau_hat,
             "steady_state_divergence_rate": div_rate_f,
+            "quality_gate": "passed",
+        }
+
+        # The ADVERTISED user path (VERDICT r4 weak #1): logp_dc alone,
+        # grad_dc AD-derived through Target.dc_forms() — same fused
+        # kernel, same gates, measured on hardware so the "write the
+        # density once" story has a perf number, gated against the
+        # hand-written-gradient rate (a silently-worse Mosaic lowering of
+        # the derived VJP fails here instead of degrading users quietly).
+        import dataclasses
+
+        derived_target = dataclasses.replace(target, grad_dc=None)
+        fused_d = NUTS(derived_target, init_with_seed(c8, d8, seed=35), 0.9,
+                       seed=35, use_pallas="full").warmed_up(300, "diag")
+        _sync(fused_d.run(n8, nd8))
+        sample, elapsed = _timed_best(lambda: _sync(fused_d.run(n8, nd8)))
+        rhat, ess = split_rhat_mean_ess(sample)
+        ess_mean, ess_min = float(jnp.mean(ess)), float(jnp.min(ess))
+        mu_hat, tau_hat = _moment_gates("8schools nuts-fused-derived",
+                                        sample, float(jnp.mean(rhat)),
+                                        ess_min)
+        derived_rate = ess_mean / elapsed
+        _gate("8schools derived-grad fused rate >= 0.7x hand-written",
+              derived_rate >= 0.7 * hand_rate, (derived_rate, hand_rate))
+        out["nuts_fused_full_derived_grad"] = {
+            "config": "same posterior and kernel, grad_dc=None — the "
+            "AD-derived gradient through Target.dc_forms() (the "
+            "advertised logp_dc-only user path)",
+            "elapsed_s": elapsed,
+            "ess_per_sec": derived_rate,
+            "ess_mean": ess_mean,
+            "ess_min": ess_min,
+            "rhat_mean": float(jnp.mean(rhat)),
+            "mu_hat": mu_hat,
+            "tau_hat": tau_hat,
+            "rate_vs_handwritten": derived_rate / hand_rate,
             "quality_gate": "passed",
         }
     out["quality_gate"] = "passed"
@@ -1294,6 +1404,10 @@ def main(extra: bool = False):
         "vs_baseline": ess_per_sec / BASELINE_ESS_PER_SEC,
         "detail": detail,
     }
+    compact = _compact_summary(result)
+    # Perf ratchet AFTER the summary walk (it annotates stage dicts with
+    # their floors, so the full line below records floors alongside rates).
+    ratchet_failures = _apply_perf_ratchet(result, compact)
     print(json.dumps(result))
     # Capture-proof compact summary, printed LAST: the driver records only
     # the final ~2000 chars of stdout, and the full-detail line above has
@@ -1301,7 +1415,14 @@ def main(extra: bool = False):
     # This line (~1 KB) repeats the contract fields plus one headline rate
     # per stage so the artifact stays parseable no matter how many stages
     # future rounds add.
-    print(json.dumps(_compact_summary(result)))
+    print(json.dumps(compact))
+    if ratchet_failures:
+        # honest artifact + failing exit code: throttled-but-correct is
+        # still a failed bench run (VERDICT r4 missing #3)
+        for f in ratchet_failures:
+            print(f"[bench] PERF RATCHET FAILED: {f}", file=sys.stderr,
+                  flush=True)
+        sys.exit(1)
 
 
 _HEADLINE_KEYS = (
@@ -1309,6 +1430,111 @@ _HEADLINE_KEYS = (
     "replica_updates_per_sec", "particle_updates_per_sec",
     "latent_draws_per_sec", "sweeps_per_sec", "cold_draws_per_sec",
 )
+
+
+# ---------------------------------------------------------------------------
+# Perf-regression ratchet (VERDICT r4 missing #3 / weak #5). The quality
+# gates above are moments/R-hat/ESS only — a change that made a stage 100x
+# slower would still publish a green artifact. These floors are checked in
+# from measured artifacts (rates ~0.4x BENCH_r04's recorded per-stage
+# headline rates — the margin absorbs the tunneled chip's time-slicing
+# noise that min-of-2-reps doesn't fully remove; ess_mean floors ~0.25x the
+# r05 measured sampling efficiency, catching an adaptation bug that halves
+# ESS/step even when moments stay correct). Keys are the compact-summary
+# stage paths; "rate" gates the stage's headline rate, "ess_mean" (when
+# set) gates the recorded mean ESS per timed run. Floors are recorded into
+# the stage dicts so the artifact carries them alongside the rates.
+_PERF_FLOORS = {
+    # measured r05 (2026-08-19, v5e): rate 3.66e8, ess_mean 3.01e8
+    "hmc_flagship": {"rate": 1.5e8, "ess_mean": 7.5e7},
+    # r05: 2.99e8 / 1.19e8
+    "nuts": {"rate": 1.2e8, "ess_mean": 3.0e7},
+    # r05: 3.80e8 / 2.86e8
+    "nuts.preconditioned": {"rate": 1.5e8, "ess_mean": 7.0e7},
+    # r05: 2.21e8 / 1.35e7
+    "mh_gauss2d_65k": {"rate": 8.0e7, "ess_mean": 3.4e6},
+    "gibbs_mixture_65k": {"rate": 2.4e9},  # r05: 6.13e9
+    "poisson_mh_65k": {"rate": 1.5e8},  # r05: 3.96e8
+    "hmc_d10000": {"rate": 1500.0},  # r05: 3592 steps/s
+    # r05: 1.11e6 draws/s / 3.78e4 (the HBM-bound high-dim stage)
+    "hmc_d10000_1024c": {"rate": 4.4e5, "ess_mean": 9.0e3},
+    # r05: 4.38e8 / 2.78e7
+    "mala_tuned_65k": {"rate": 1.7e8, "ess_mean": 7.0e6},
+    # r05: 7.30e8 / 1.14e8
+    "chees_65k": {"rate": 2.9e8, "ess_mean": 2.8e7},
+    "ensemble_65k": {"rate": 1.3e6},  # r05: 3.32e6
+    "tempering_bimodal_8k": {"rate": 4.7e8},  # r05: 1.16e9
+    "slice_gauss2d_65k": {"rate": 6.0e6},  # r05: 1.49e7
+    "elliptical_gp64_4k": {"rate": 3.3e6},  # r05: 8.26e6
+    "ais_evidence_65k": {"rate": 9.0e7},  # r05: 2.33e8
+    "sgld_minibatch_65k_rows": {"rate": 2.3e7},  # r05: 5.92e7
+    "sgld_data_parallel_65k_rows": {"rate": 2.1e7},  # r05: 5.61e7
+    "psgld_anisotropic_100x": {"rate": 4.7e7},  # r05: 1.21e8
+    "sghmc_minibatch_65k_rows": {"rate": 2.2e7},  # r05: 5.92e7
+    # r05: 6.45e6 / 4.29e6
+    "eight_schools_10d.nuts_diag_metric": {"rate": 2.6e6, "ess_mean": 1e6},
+    # r05: 2.14e7 / 1.71e6
+    "eight_schools_10d.chees_adapted": {"rate": 8.0e6, "ess_mean": 4e5},
+    # r05: 4.04e7 / 4.26e6
+    "eight_schools_10d.nuts_fused_full": {"rate": 1.4e7, "ess_mean": 1e6},
+    # r05: 3.50e7 / 4.28e6 (the AD-derived-gradient user path)
+    "eight_schools_10d.nuts_fused_full_derived_grad":
+        {"rate": 1.3e7, "ess_mean": 1e6},
+}
+
+
+def _stage_by_path(detail: dict, path: str):
+    """Resolve a compact-summary stage path to its dict in ``detail``
+    (``"hmc_flagship"`` = the top-level detail block itself)."""
+    if path == "hmc_flagship":
+        return detail
+    node = detail
+    for part in path.split("."):
+        node = node.get(part) if isinstance(node, dict) else None
+    return node if isinstance(node, dict) else None
+
+
+def _apply_perf_ratchet(result: dict, compact: dict) -> list:
+    """Gate each stage's headline rate (and recorded ess_mean where
+    floored) against the checked-in ratchet; gate the flagship value
+    against the 1e6 north star explicitly. Mutates the stage dicts to
+    record their floors and the compact line with a pass/fail marker;
+    returns the violation list (empty = passed)."""
+    failures = []
+    if result["value"] < BASELINE_ESS_PER_SEC:
+        failures.append(
+            f"flagship value {result['value']:.3g} < north star "
+            f"{BASELINE_ESS_PER_SEC:g}"
+        )
+    stages = compact["stages"]
+    for name, floors in _PERF_FLOORS.items():
+        stage = _stage_by_path(result["detail"], name)
+        if stage is not None:
+            stage["perf_floor_rate"] = floors["rate"]
+            if "ess_mean" in floors:
+                stage["perf_floor_ess_mean"] = floors["ess_mean"]
+        rate = stages.get(name)
+        if not isinstance(rate, (int, float)):
+            failures.append(
+                f"{name}: stage missing or gate-failed "
+                f"(rate floor {floors['rate']:g})"
+            )
+            continue
+        if rate < floors["rate"]:
+            failures.append(
+                f"{name}: rate {rate:g} < floor {floors['rate']:g}"
+            )
+        em_floor = floors.get("ess_mean")
+        if em_floor is not None and stage is not None:
+            em = stage.get("ess_mean")
+            if not isinstance(em, (int, float)) or em < em_floor:
+                failures.append(
+                    f"{name}: ess_mean {em} < floor {em_floor:g}"
+                )
+    compact["perf_ratchet"] = (
+        "passed" if not failures else [f[:100] for f in failures[:4]]
+    )
+    return failures
 
 
 def _compact_summary(result: dict) -> dict:

@@ -93,3 +93,88 @@ def test_compact_summary_failed_stage_has_no_headline():
     assert summary["stages_passed"] == 3
     all_pass = bench._compact_summary(_synthetic_result(2))
     assert summary["stages_passed"] == all_pass["stages_passed"] - 1
+
+
+def _ratcheted_result():
+    """A result whose floored stages all clear their _PERF_FLOORS."""
+    detail: dict = {"backend": "tpu", "quality_gate": "passed"}
+    for path, floors in bench._PERF_FLOORS.items():
+        if path == "hmc_flagship":
+            detail["ess_per_sec"] = floors["rate"] * 4
+            detail["ess_mean"] = floors.get("ess_mean", 1) * 4
+            detail["quality_gate"] = "passed"
+            continue
+        node = detail
+        parts = path.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {"quality_gate": "passed"})
+        node[parts[-1]] = {
+            "ess_per_sec": floors["rate"] * 4,
+            "ess_mean": floors.get("ess_mean", 1) * 4,
+            "quality_gate": "passed",
+        }
+    value = detail.pop("ess_per_sec")
+    return {
+        "metric": "effective_samples_per_sec_per_chip",
+        "value": value,
+        "unit": "ESS/s",
+        "vs_baseline": value / bench.BASELINE_ESS_PER_SEC,
+        "detail": detail,
+    }
+
+
+def test_perf_ratchet_passes_at_measured_rates():
+    result = _ratcheted_result()
+    compact = bench._compact_summary(result)
+    failures = bench._apply_perf_ratchet(result, compact)
+    assert failures == [], failures
+    assert compact["perf_ratchet"] == "passed"
+    # floors are recorded alongside the rates in the full artifact
+    assert result["detail"]["perf_floor_rate"] == (
+        bench._PERF_FLOORS["hmc_flagship"]["rate"])
+    nuts_pre = result["detail"]["nuts"]["preconditioned"]
+    assert nuts_pre["perf_floor_rate"] == (
+        bench._PERF_FLOORS["nuts.preconditioned"]["rate"])
+    # the compact line still fits the driver capture window with the
+    # ratchet marker attached
+    assert len(json.dumps(compact)) < CAPTURE_WINDOW
+
+
+def test_perf_ratchet_fails_throttled_stage():
+    """VERDICT r4 'done' criterion: artificially throttling a stage fails
+    its gate even though every quality gate still reads 'passed'."""
+    result = _ratcheted_result()
+    floor = bench._PERF_FLOORS["gibbs_mixture_65k"]["rate"]
+    result["detail"]["gibbs_mixture_65k"]["ess_per_sec"] = floor / 3
+    compact = bench._compact_summary(result)
+    failures = bench._apply_perf_ratchet(result, compact)
+    assert any("gibbs_mixture_65k" in f for f in failures), failures
+    assert compact["perf_ratchet"] != "passed"
+
+
+def test_perf_ratchet_fails_efficiency_collapse():
+    # halved sampling efficiency with unchanged wall time: the rate can
+    # stay above its floor while ess_mean collapses — the ess_mean floor
+    # must catch it (VERDICT r4 weak #5)
+    result = _ratcheted_result()
+    result["detail"]["nuts"]["ess_mean"] = (
+        bench._PERF_FLOORS["nuts"]["ess_mean"] / 10)
+    compact = bench._compact_summary(result)
+    failures = bench._apply_perf_ratchet(result, compact)
+    assert any("nuts: ess_mean" in f for f in failures), failures
+
+
+def test_perf_ratchet_fails_below_north_star():
+    result = _ratcheted_result()
+    result["value"] = bench.BASELINE_ESS_PER_SEC / 2
+    compact = bench._compact_summary(result)
+    failures = bench._apply_perf_ratchet(result, compact)
+    assert any("north star" in f for f in failures), failures
+
+
+def test_perf_ratchet_fails_missing_stage():
+    result = _ratcheted_result()
+    del result["detail"]["chees_65k"]
+    compact = bench._compact_summary(result)
+    failures = bench._apply_perf_ratchet(result, compact)
+    assert any("chees_65k" in f and "missing" in f for f in failures)
