@@ -157,16 +157,38 @@ def _metric_record(sampler):
             "arr": jnp.asarray(arr)}
 
 
+def _transform_record(sampler):
+    """Fingerprint of the sampler's coordinate transform (None when
+    untransformed): crc32 of each coordinate's bijector name — array
+    leaves only, stable across processes (unlike ``hash(str)``). The
+    state is stored in UNCONSTRAINED coordinates, so restoring through a
+    different transform would silently mis-map every position."""
+    tf = getattr(sampler, "transform", None)
+    if tf is None or getattr(tf, "is_identity", True):
+        return None
+    import zlib
+
+    return {"bij": jnp.asarray(
+        [zlib.crc32(b.name.encode()) for b in tf._table], jnp.uint32
+    )}
+
+
 def save_sampler(path: str, sampler, *, backend: str = "auto") -> None:
     """Checkpoint a wrapper sampler (state pytree + PRNG key).
 
     For a metric-whitened sampler (``HMC``/``NUTS`` with ``metric=``) the
     state is stored in its internal whitened coordinates and the metric is
     recorded alongside, so :func:`restore_sampler` can reject restoring
-    into a sampler with a different coordinate system.
+    into a sampler with a different coordinate system; likewise a
+    ``transform=`` fingerprint for constrained samplers (the state lives
+    in unconstrained coordinates).
     """
+    extra = {"metric": _metric_record(sampler),
+             "transform": _transform_record(sampler)}
+    if extra["metric"] is None and extra["transform"] is None:
+        extra = None  # plain samplers keep the original compact format
     save_checkpoint(path, sampler.state, sampler._key, backend=backend,
-                    extra=_metric_record(sampler))
+                    extra=extra)
 
 
 def restore_sampler(path: str, sampler, *, mesh=None):
@@ -184,7 +206,30 @@ def restore_sampler(path: str, sampler, *, mesh=None):
     different whitening map would silently mis-scale every position)."""
     payload = _load_payload(path)
     state, key = payload["state"], payload.get("key")
-    saved_metric = payload.get("extra")
+    saved_extra = payload.get("extra")
+    # format migration: the pre-transform format stored the metric record
+    # (or None) directly; the current format is {"metric", "transform"}
+    if isinstance(saved_extra, dict) and "metric" in saved_extra:
+        saved_metric = saved_extra.get("metric")
+        saved_tf = saved_extra.get("transform")
+    else:
+        saved_metric, saved_tf = saved_extra, None
+    cur_tf = _transform_record(sampler)
+    tf_mismatch = (saved_tf is None) != (cur_tf is None)
+    if not tf_mismatch and saved_tf is not None:
+        tf_mismatch = (
+            saved_tf["bij"].shape != cur_tf["bij"].shape
+            or not bool(jnp.array_equal(saved_tf["bij"], cur_tf["bij"]))
+        )
+    if tf_mismatch:
+        raise ValueError(
+            "checkpoint coordinate transform does not match the "
+            "sampler's: the state is stored in unconstrained "
+            "coordinates, so restoring it through a different transform "
+            "would silently mis-map every position. Construct the "
+            "restoring sampler with the same transform= the checkpoint "
+            "was saved under."
+        )
     cur_metric = _metric_record(sampler)
     mismatch = (saved_metric is None) != (cur_metric is None)
     if not mismatch and saved_metric is not None:

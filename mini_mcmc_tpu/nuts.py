@@ -65,10 +65,12 @@ class NUTS:
         warmup_max_depth: Optional[int] = None,
         metric=None,
         validate_dc: bool = True,
+        transform=None,
     ):
-        import jax.numpy as jnp
+        import jax.numpy as jnp  # noqa: F401 — kept for subclass hooks
 
         from .models.base import validate_dc_forms
+        from .samplers import _wrap_sampler_target
 
         if warmup_max_depth is not None and not (
             1 <= warmup_max_depth <= max_depth
@@ -81,23 +83,23 @@ class NUTS:
         self.target_accept_p = target_accept_p
         self.max_depth = max_depth
         self.metric = metric
+        self.transform = transform
         self._ctor = dict(
             target_accept_p=target_accept_p, max_depth=max_depth,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
             warmup_max_depth=warmup_max_depth, validate_dc=validate_dc,
+            transform=transform,
+        )
+        kernel_target, self._positions_map, initial_positions = (
+            _wrap_sampler_target(target, initial_positions, transform,
+                                 metric)
         )
         if use_pallas and validate_dc:
-            # hand-written chains-on-lanes forms checked once against the
-            # batch form, on the USER's x-space positions (a wrong logp_dc
-            # would silently sample the wrong posterior on fused tiers)
-            validate_dc_forms(target, initial_positions)
-        kernel_target, self._positions_map = target, None
-        if metric is not None:
-            from .models.precondition import precondition_target
-
-            kernel_target = precondition_target(target, metric)
-            self._positions_map = metric.to_x
-            initial_positions = metric.to_y(jnp.asarray(initial_positions))
+            # validate the target the fused tiers actually consume (the
+            # full transform+metric wrap) on kernel coordinates: a wrong
+            # hand-written chains-on-lanes form would silently sample the
+            # wrong posterior through every use_pallas path
+            validate_dc_forms(kernel_target, initial_positions)
         init_fn, prepare_fn, step_fn = nuts_kernel(
             kernel_target, target_accept_p, max_depth,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
@@ -155,8 +157,12 @@ class NUTS:
         sampler's key derives from this sampler's stream, keeping a fully
         seeded workflow reproducible end-to-end."""
         from .models.precondition import estimate_preconditioner
+        from .samplers import _unconstrained_positions
 
-        pre = estimate_preconditioner(self.positions, kind)
+        # estimate from the UNCONSTRAINED ensemble (with a transform set,
+        # .positions are natural coordinates but the metric whitens the
+        # transform's y-space; identical otherwise)
+        pre = estimate_preconditioner(_unconstrained_positions(self), kind)
         new = NUTS(self.target, self.positions, metric=pre, seed=seed,
                    **self._ctor)
         if seed is None:

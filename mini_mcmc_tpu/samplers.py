@@ -44,6 +44,46 @@ def _fresh_key(seed: Optional[int]) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
+def _wrap_sampler_target(target, initial_positions, transform, metric):
+    """Compose the gradient samplers' coordinate wrappers.
+
+    ``transform`` (natural -> unconstrained, ``models/transforms.py``)
+    applies first, then ``metric`` whitening (``models/precondition.py``)
+    on the UNCONSTRAINED coordinates. Returns ``(kernel_target,
+    positions_map, kernel_initial_positions)`` where ``positions_map``
+    takes kernel coordinates back to the user's (natural) coordinates —
+    applied inside the collection scan and to ``.positions``.
+    """
+    kernel_target, positions_map = target, None
+    if transform is not None and not transform.is_identity:
+        kernel_target = transform.wrap(target)
+        positions_map = transform.to_x
+        initial_positions = transform.to_y(jnp.asarray(initial_positions))
+    if metric is not None:
+        from .models.precondition import precondition_target
+
+        inner_map = positions_map
+        kernel_target = precondition_target(kernel_target, metric)
+        if inner_map is None:
+            positions_map = metric.to_x
+        else:
+            def positions_map(p, _m=metric.to_x, _t=inner_map):
+                return _t(_m(p))
+        initial_positions = metric.to_y(jnp.asarray(initial_positions))
+    return kernel_target, positions_map, initial_positions
+
+
+def _unconstrained_positions(sampler):
+    """The chain ensemble in UNCONSTRAINED (but unwhitened) coordinates —
+    what ``estimate_preconditioner`` must see: the kernel runs (and any
+    metric whitens) in the transform's y-space, so estimating from the
+    natural-coordinates ``.positions`` would whiten the wrong space."""
+    pos = sampler.state.positions
+    if sampler.metric is not None:
+        pos = sampler.metric.to_x(pos)
+    return pos
+
+
 class _KernelSampler:
     """Shared run/run_progress plumbing for kernel-based samplers."""
 
@@ -278,6 +318,14 @@ class HMC(_KernelSampler):
     HMC with mass matrix ``(L L^T)^-1``; the reference has no metric).
     ``initial_positions``, recorded samples, and ``.positions`` all stay in
     x-space; the whitening is internal. See ``models/precondition.py``.
+
+    ``transform``: optional
+    :class:`~mini_mcmc_tpu.models.CoordinateTransform` — ``target`` is
+    then a NATURAL-coordinates density (e.g. ``tau > 0`` with no Jacobian
+    terms) and the sampler runs on the unconstrained wrap internally
+    (``models/transforms.py``); ``initial_positions``, recorded samples,
+    and ``.positions`` all stay in natural coordinates. Composes with
+    ``metric`` (the whitening applies to the unconstrained coordinates).
     """
 
     def __init__(self, target: Target, initial_positions, step_size: float,
@@ -285,30 +333,25 @@ class HMC(_KernelSampler):
                  unroll: int = 8, use_pallas: bool = False,
                  pallas_interpret: bool = False, jitter: float = 0.0,
                  steps_per_call: int = 1, metric=None,
-                 validate_dc: bool = True):
+                 validate_dc: bool = True, transform=None):
         self.target = target
         self.step_size = step_size
         self.n_leapfrog = n_leapfrog
         self.metric = metric
+        self.transform = transform
         self._ctor = dict(step_size=step_size, n_leapfrog=n_leapfrog,
                           unroll=unroll, use_pallas=use_pallas,
                           pallas_interpret=pallas_interpret, jitter=jitter,
                           steps_per_call=steps_per_call,
-                          validate_dc=validate_dc)
+                          validate_dc=validate_dc, transform=transform)
+        kernel_target, positions_map, initial_positions = _wrap_sampler_target(
+            target, initial_positions, transform, metric,
+        )
         if use_pallas and validate_dc:
-            # validate the USER target on x-space positions (before any
-            # metric whitening): the whitened wrapper only composes with
-            # the hand-written form, so user errors surface here
-            validate_dc_forms(target, initial_positions)
-        kernel_target, positions_map = target, None
-        if metric is not None:
-            from .models.precondition import precondition_target
-
-            kernel_target = precondition_target(target, metric)
-            positions_map = metric.to_x
-            initial_positions = metric.to_y(
-                jnp.asarray(initial_positions)
-            )
+            # validate the target the fused tiers actually consume (the
+            # full transform+metric wrap) on kernel coordinates: a wrong
+            # user form OR a broken wrapper composition both surface here
+            validate_dc_forms(kernel_target, initial_positions)
         init_fn, step_fn = hmc_kernel(kernel_target, step_size, n_leapfrog,
                                       unroll=unroll, use_pallas=use_pallas,
                                       pallas_interpret=pallas_interpret,
@@ -347,11 +390,14 @@ class HMC(_KernelSampler):
             self._ctor["step_size"], target_accept,
         )
         # state.positions are in KERNEL coordinates (whitened when a
-        # metric is set); the constructor expects x-space and re-whitens.
+        # metric is set, unconstrained when a transform is set); the
+        # constructor expects the user's natural coordinates and re-wraps.
         positions = (
             state.positions if self.metric is None
             else self.metric.to_x(state.positions)
         )
+        if self.transform is not None and not self.transform.is_identity:
+            positions = self.transform.to_x(positions)
         ctor = dict(self._ctor)
         ctor["step_size"] = eps
         new = type(self)._construct(self.target, positions, self.metric,
@@ -398,7 +444,10 @@ class HMC(_KernelSampler):
         so a fully seeded workflow stays reproducible end-to-end."""
         from .models.precondition import estimate_preconditioner
 
-        pre = estimate_preconditioner(self.positions, kind)
+        # estimate from the UNCONSTRAINED ensemble: with a transform set,
+        # .positions are natural coordinates but the metric whitens the
+        # transform's y-space (identical to .positions otherwise)
+        pre = estimate_preconditioner(_unconstrained_positions(self), kind)
         ctor = dict(self._ctor)
         # The carried step size is in this sampler's KERNEL coordinates:
         # x-space for a plain HMC, whitened y-space when self.metric is
@@ -455,13 +504,13 @@ class MALA(HMC):
     def __init__(self, target: Target, initial_positions, step_size: float,
                  seed: Optional[int] = None, use_pallas: bool = False,
                  pallas_interpret: bool = False, steps_per_call: int = 1,
-                 metric=None, validate_dc: bool = True):
+                 metric=None, validate_dc: bool = True, transform=None):
         super().__init__(target, initial_positions, step_size,
                          n_leapfrog=1, seed=seed, unroll=1,
                          use_pallas=use_pallas,
                          pallas_interpret=pallas_interpret,
                          steps_per_call=steps_per_call, metric=metric,
-                         validate_dc=validate_dc)
+                         validate_dc=validate_dc, transform=transform)
 
     @classmethod
     def _construct(cls, target, positions, metric, seed, ctor):
@@ -515,7 +564,7 @@ class ChEESHMC(_KernelSampler):
     def __init__(self, target: Target, initial_positions, step_size: float,
                  traj_len: Optional[float] = None,
                  max_leapfrog: int = 1024, seed: Optional[int] = None,
-                 metric=None):
+                 metric=None, transform=None):
         from .ops.chees import chees_hmc_kernel
 
         self.target = target
@@ -525,13 +574,11 @@ class ChEESHMC(_KernelSampler):
         self.traj_len = float(traj_len) if traj_len is not None else step_size
         self.max_leapfrog = max_leapfrog
         self.metric = metric
-        kernel_target, positions_map = target, None
-        if metric is not None:
-            from .models.precondition import precondition_target
-
-            kernel_target = precondition_target(target, metric)
-            positions_map = metric.to_x
-            initial_positions = metric.to_y(jnp.asarray(initial_positions))
+        self.transform = transform
+        kernel_target, positions_map, initial_positions = (
+            _wrap_sampler_target(target, initial_positions, transform,
+                                 metric)
+        )
         self._kernel_target = kernel_target
         init_fn, step_fn = chees_hmc_kernel(
             kernel_target, step_size, self.traj_len, max_leapfrog,
@@ -567,9 +614,11 @@ class ChEESHMC(_KernelSampler):
             state.positions if self.metric is None
             else self.metric.to_x(state.positions)
         )
+        if self.transform is not None and not self.transform.is_identity:
+            positions = self.transform.to_x(positions)
         new = ChEESHMC(self.target, positions, eps, traj_len,
                        max_leapfrog=self.max_leapfrog, seed=seed,
-                       metric=self.metric)
+                       metric=self.metric, transform=self.transform)
         new.warmup_trace = trace
         if seed is None:
             new._key = self._next_key()
@@ -585,7 +634,7 @@ class ChEESHMC(_KernelSampler):
         :meth:`warmed_up` re-tunes both in the new coordinates."""
         from .models.precondition import estimate_preconditioner
 
-        pre = estimate_preconditioner(self.positions, kind)
+        pre = estimate_preconditioner(_unconstrained_positions(self), kind)
         old_scale = (
             self.metric.sigma_min() if self.metric is not None else 1.0
         )
@@ -596,6 +645,7 @@ class ChEESHMC(_KernelSampler):
             step_size if step_size is not None else eps_x / pre.sigma_min(),
             traj_len if traj_len is not None else t_x / pre.sigma_min(),
             max_leapfrog=self.max_leapfrog, seed=seed, metric=pre,
+            transform=self.transform,
         )
         if seed is None:
             new._key = self._next_key()

@@ -223,3 +223,120 @@ def test_identity_transform_is_passthrough():
     assert wrapped is t and tf.is_identity
     y = jnp.ones((2, 4))
     np.testing.assert_array_equal(np.asarray(tf.to_x(y)), np.asarray(y))
+
+
+def _scale_location_target():
+    """x0 > 0 scale, x1 unconstrained: logp = -x0 - (x1/x0)^2/2 - log x0."""
+    def logp_batch(xs):
+        return (-xs[:, 0] - 0.5 * (xs[:, 1] / xs[:, 0]) ** 2
+                - jnp.log(xs[:, 0]))
+
+    return Target(
+        logp=lambda x: -x[0] - 0.5 * (x[1] / x[0]) ** 2 - jnp.log(x[0]),
+        logp_batch=logp_batch,
+    )
+
+
+def _natural_init(n):
+    x0 = init_det(n, 2)
+    return x0.at[:, 0].set(jnp.exp(0.3 * x0[:, 0]))  # scale coord > 0
+
+
+def test_transform_kwarg_matches_manual_wrap_hmc_and_nuts():
+    """HMC/NUTS(target_natural, x0, transform=tf) must equal the manual
+    wrap + to_y init + to_x(samples) pattern DRAW FOR DRAW (identical
+    kernel target and key stream), with .positions in natural range."""
+    natural = _scale_location_target()
+    tf = CoordinateTransform({0: positive()}, dim=2)
+    x0 = _natural_init(16)
+
+    auto = HMC(natural, x0, 0.05, 3, transform=tf).seed(4)
+    manual = HMC(tf.wrap(natural), tf.to_y(x0), 0.05, 3).seed(4)
+    sa = auto.run(20, 5)
+    sm = tf.to_x(manual.run(20, 5))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sm),
+                               rtol=1e-6, atol=1e-7)
+    assert np.all(np.asarray(auto.positions)[:, 0] > 0)
+
+    n_auto = NUTS(natural, x0, 0.8, transform=tf).seed(5)
+    n_manual = NUTS(tf.wrap(natural), tf.to_y(x0), 0.8).seed(5)
+    sa = n_auto.run(15, 10)
+    sm = tf.to_x(n_manual.run(15, 10))
+    np.testing.assert_allclose(np.asarray(sa), np.asarray(sm),
+                               rtol=1e-6, atol=1e-7)
+    assert np.all(np.asarray(n_auto.positions)[:, 0] > 0)
+
+
+def test_transform_composes_with_metric_warmup():
+    """tuned/reconditioned/warmed_up on a transformed sampler: the metric
+    is estimated from (and whitens) the UNCONSTRAINED ensemble; samples
+    and .positions stay natural; the tuned continuation keeps sampling
+    the right posterior (support + finite check + rough moments)."""
+    natural = _scale_location_target()
+    tf = CoordinateTransform({0: positive()}, dim=2)
+    s = HMC(natural, _natural_init(64), 0.1, 5, transform=tf).seed(6)
+    warmed = s.warmed_up(100, "diag")
+    assert warmed.metric is not None and warmed.transform is tf
+    sample = warmed.run(300, 100)
+    x = np.asarray(sample).reshape(-1, 2)
+    assert np.isfinite(x).all() and np.all(x[:, 0] > 0)
+    # E[x0] for the Gamma-like scale marginal p(x0) ∝ x0^-1 e^-x0 ∫e^-(x1/x0)^2/2 dx1
+    # = x0^-1 e^-x0 * x0 * sqrt(2pi) -> x0 ~ Exp(1): E = 1, and x1 | x0
+    # ~ N(0, x0^2) -> E[x1] = 0.
+    assert abs(x[:, 0].mean() - 1.0) < 0.15
+    assert abs(x[:, 1].mean()) < 0.2
+
+    # NUTS path: reconditioned with a transform estimates the metric in
+    # unconstrained coordinates and continues in-support
+    n = NUTS(natural, _natural_init(64), 0.8, transform=tf).seed(7)
+    n.run(0, 150)
+    tuned = n.reconditioned("diag")
+    sample = tuned.run(100, 100)
+    assert np.all(np.asarray(sample)[:, :, 0] > 0)
+
+
+def test_transform_chees_and_mala():
+    from mini_mcmc_tpu import MALA, ChEESHMC
+
+    natural = _scale_location_target()
+    tf = CoordinateTransform({0: positive()}, dim=2)
+    ch = ChEESHMC(natural, _natural_init(128), step_size=0.2,
+                  max_leapfrog=32, seed=8, transform=tf).warmed_up(80)
+    assert ch.transform is tf
+    s = ch.run(100, 50)
+    assert np.all(np.asarray(s)[:, :, 0] > 0)
+
+    ml = MALA(natural, _natural_init(32), 0.3, transform=tf).seed(9)
+    ml2 = ml.tuned(50)
+    assert ml2.transform is tf
+    assert np.all(np.asarray(ml2.run(50, 0))[:, :, 0] > 0)
+
+
+def test_transform_checkpoint_guard(tmp_path):
+    """The state lives in unconstrained coordinates: restoring through a
+    DIFFERENT transform must raise (the metric-guard convention), and a
+    same-transform round-trip continues bit-exactly in natural space."""
+    from mini_mcmc_tpu.checkpoint import restore_sampler, save_sampler
+
+    natural = _scale_location_target()
+    tf = CoordinateTransform({0: positive()}, dim=2)
+    s = HMC(natural, _natural_init(8), 0.05, 3, transform=tf).seed(1)
+    s.run(5, 0)
+    path = str(tmp_path / "tf_ckpt")
+    save_sampler(path, s)
+
+    # same transform: bit-exact continuation
+    r = HMC(natural, _natural_init(8), 0.05, 3, transform=tf).seed(99)
+    restore_sampler(path, r)
+    np.testing.assert_array_equal(np.asarray(s.run(5, 0)),
+                                  np.asarray(r.run(5, 0)))
+
+    # different transform (coordinate 1 constrained instead): rejected
+    other = CoordinateTransform({1: positive()}, dim=2)
+    bad = HMC(natural, _natural_init(8), 0.05, 3, transform=other).seed(0)
+    with pytest.raises(ValueError, match="transform"):
+        restore_sampler(path, bad)
+    # no transform at all: also rejected
+    plain = HMC(natural, _natural_init(8), 0.05, 3).seed(0)
+    with pytest.raises(ValueError, match="transform"):
+        restore_sampler(path, plain)
