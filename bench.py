@@ -114,7 +114,7 @@ def _gate(name, ok, info):
         raise AssertionError(f"quality gate FAILED [{name}]: {info}")
 
 
-def _timed_best(run_once, reps=2):
+def _timed_best(run_once, reps=3):
     """Time ``run_once`` (a steady-state, already-compiled dispatch)
     ``reps`` times and keep the fastest rep's ``(sample, elapsed)``. The
     tunneled chip occasionally time-slices with a neighboring process: a
@@ -122,7 +122,9 @@ def _timed_best(run_once, reps=2):
     identical program minutes apart). Min-of-reps restores the
     steady-state number; any rep's sample is statistically valid (the
     chain just advanced between reps), so quality gates run on the kept
-    one."""
+    one. reps=3 (was 2) since the perf ratchet landed: a fluke-slow
+    headline now FAILS the run, so one extra ~seconds-scale rep per
+    stage is cheap insurance."""
     best_s, best_e = None, float("inf")
     for _ in range(reps):
         t0 = time.monotonic()

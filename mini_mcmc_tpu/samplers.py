@@ -234,26 +234,34 @@ class MetropolisHastings(_KernelSampler):
     def __init__(self, target: Target, proposal: Proposal, initial_positions,
                  seed: Optional[int] = None, use_pallas=False,
                  steps_per_call: int = 1, pallas_interpret: bool = False,
-                 validate_dc: bool = True):
+                 validate_dc: bool = True, transform=None):
         self.target = target
         self.proposal = proposal
+        self.transform = transform
         #: proposal scale factor vs. the originally constructed proposal
         #: (1.0 unless this sampler came from :meth:`tuned`)
         self.scale_factor = 1.0
         self._ctor = dict(use_pallas=use_pallas,
                           steps_per_call=steps_per_call,
                           pallas_interpret=pallas_interpret,
-                          validate_dc=validate_dc)
+                          validate_dc=validate_dc, transform=transform)
+        # transform: the target is a natural-coordinates density and the
+        # PROPOSAL walks the unconstrained space (models/transforms.py);
+        # initial positions / samples / .positions stay natural.
+        kernel_target, positions_map, initial_positions = (
+            _wrap_sampler_target(target, initial_positions, transform, None)
+        )
         if use_pallas and validate_dc:
             # hand-written chains-on-lanes forms checked against the batch
             # form once, at construction — a wrong logp_dc would silently
             # sample the wrong posterior through every fused tier
-            validate_dc_forms(target, initial_positions)
-        init_fn, step_fn = mh_kernel(target, proposal,
+            validate_dc_forms(kernel_target, initial_positions)
+        init_fn, step_fn = mh_kernel(kernel_target, proposal,
                                      use_pallas=use_pallas,
                                      steps_per_call=steps_per_call,
                                      pallas_interpret=pallas_interpret)
-        super().__init__(init_fn, step_fn, initial_positions, seed)
+        super().__init__(init_fn, step_fn, initial_positions, seed,
+                         positions_map=positions_map)
 
     #: random-walk optimal acceptance rate (Roberts, Gelman & Gilks 1997)
     _default_target_accept = 0.234
@@ -295,9 +303,12 @@ class MetropolisHastings(_KernelSampler):
         # Python scalar so the fused Pallas path sees a compile-time
         # constant, not a captured device array.
         factor = float(factor)
+        positions = state.positions  # kernel (unconstrained) coordinates
+        if self.transform is not None and not self.transform.is_identity:
+            positions = self.transform.to_x(positions)
         new = MetropolisHastings(
             self.target, self.proposal.scaled(factor),
-            state.positions, seed=seed, **self._ctor,
+            positions, seed=seed, **self._ctor,
         )
         # cumulative vs. the ORIGINAL proposal: self.proposal is already
         # scaled by self.scale_factor when self came from tuned()
@@ -674,18 +685,27 @@ class EnsembleSampler(_KernelSampler):
 
     def __init__(self, target: Target, initial_positions,
                  walkers_per_ensemble: Optional[int] = None, a: float = 2.0,
-                 seed: Optional[int] = None, steps_per_call: int = 1):
+                 seed: Optional[int] = None, steps_per_call: int = 1,
+                 transform=None):
         self.target = target
         self.a = a
+        self.transform = transform
+        # transform: the stretch move interpolates pairs in the
+        # UNCONSTRAINED space (affine invariance holds there); samples
+        # and .positions stay natural
+        kernel_target, positions_map, initial_positions = (
+            _wrap_sampler_target(target, initial_positions, transform, None)
+        )
         n_chains = jnp.shape(jnp.asarray(initial_positions))[0]
         if walkers_per_ensemble is None:
             walkers_per_ensemble = n_chains
         self.walkers_per_ensemble = walkers_per_ensemble
         init_fn, step_fn = ensemble_kernel(
-            target, walkers_per_ensemble=walkers_per_ensemble, a=a,
+            kernel_target, walkers_per_ensemble=walkers_per_ensemble, a=a,
             steps_per_call=steps_per_call,
         )
-        super().__init__(init_fn, step_fn, initial_positions, seed)
+        super().__init__(init_fn, step_fn, initial_positions, seed,
+                         positions_map=positions_map)
 
 
 class ParallelTempering(_KernelSampler):
@@ -717,8 +737,10 @@ class ParallelTempering(_KernelSampler):
                  betas: Optional[tuple] = None, proposal_std=1.0,
                  n_inner: int = 1, seed: Optional[int] = None,
                  steps_per_call: int = 1, use_pallas=False,
-                 pallas_interpret: bool = False, validate_dc: bool = True):
+                 pallas_interpret: bool = False, validate_dc: bool = True,
+                 transform=None):
         self.target = target
+        self.transform = transform
         if betas is None:
             betas = geometric_betas(8)
         self.betas = tuple(float(b) for b in betas)
@@ -726,23 +748,34 @@ class ParallelTempering(_KernelSampler):
                           steps_per_call=steps_per_call,
                           use_pallas=use_pallas,
                           pallas_interpret=pallas_interpret,
-                          validate_dc=validate_dc)
+                          validate_dc=validate_dc, transform=transform)
+        # transform: replicas walk the unconstrained space (the tempered
+        # densities are beta * wrapped logp); the cold cube stays natural
+        kernel_target, tf_map, initial_positions = _wrap_sampler_target(
+            target, initial_positions, transform, None,
+        )
         if use_pallas and validate_dc:
-            validate_dc_forms(target, initial_positions)
+            validate_dc_forms(kernel_target, initial_positions)
         n_cold = jnp.shape(jnp.asarray(initial_positions))[0]
         self._n_cold = int(n_cold)
         init_fn, step_fn = tempering_kernel(
-            target, self.betas, proposal_std=proposal_std, n_inner=n_inner,
-            steps_per_call=steps_per_call, use_pallas=use_pallas,
-            pallas_interpret=pallas_interpret,
+            kernel_target, self.betas, proposal_std=proposal_std,
+            n_inner=n_inner, steps_per_call=steps_per_call,
+            use_pallas=use_pallas, pallas_interpret=pallas_interpret,
         )
+
         # positions_map extracts the cold ladder rung (rung 0) from the
         # [..., T, D, C] chains-on-lanes replica batch and restores the
         # [C, D] user layout — the ellipsis covers the block runner's
-        # [K, T, D, C] row stacks as well as the bare state.
+        # [K, T, D, C] row stacks as well as the bare state — then maps
+        # back to natural coordinates when a transform is set.
+        def positions_map(p, _tf=tf_map):
+            cold = jnp.swapaxes(p[..., 0, :, :], -1, -2)
+            return cold if _tf is None else _tf(cold)
+
         super().__init__(
             init_fn, step_fn, initial_positions, seed,
-            positions_map=lambda p: jnp.swapaxes(p[..., 0, :, :], -1, -2),
+            positions_map=positions_map,
         )
 
     @property
@@ -859,8 +892,15 @@ class SliceSampler(_KernelSampler):
 
     def __init__(self, target: Target, initial_positions, width=1.0,
                  max_stepouts: int = 8, max_shrink: int = 32,
-                 seed: Optional[int] = None, steps_per_call: int = 1):
+                 seed: Optional[int] = None, steps_per_call: int = 1,
+                 transform=None):
         self.target = target
+        self.transform = transform
+        # transform: the bracket walks the unconstrained space, so the
+        # "auto" width must measure the ensemble spread THERE
+        kernel_target, positions_map, initial_positions = (
+            _wrap_sampler_target(target, initial_positions, transform, None)
+        )
         if isinstance(width, str):
             if width != "auto":
                 raise ValueError(
@@ -870,10 +910,11 @@ class SliceSampler(_KernelSampler):
             width = jnp.where(spread > 1e-6, spread, 1.0)
         self.width = width
         init_fn, step_fn = slice_kernel(
-            target, width=width, max_stepouts=max_stepouts,
+            kernel_target, width=width, max_stepouts=max_stepouts,
             max_shrink=max_shrink, steps_per_call=steps_per_call,
         )
-        super().__init__(init_fn, step_fn, initial_positions, seed)
+        super().__init__(init_fn, step_fn, initial_positions, seed,
+                         positions_map=positions_map)
 
 
 class GibbsSampler(_KernelSampler):

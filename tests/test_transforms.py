@@ -340,3 +340,51 @@ def test_transform_checkpoint_guard(tmp_path):
     plain = HMC(natural, _natural_init(8), 0.05, 3).seed(0)
     with pytest.raises(ValueError, match="transform"):
         restore_sampler(path, plain)
+
+
+def test_transform_gradient_free_samplers():
+    """MH / slice / ensemble / PT take transform= too: kernels walk the
+    unconstrained space, the cube and .positions stay natural."""
+    from mini_mcmc_tpu import (
+        EnsembleSampler,
+        MetropolisHastings,
+        ParallelTempering,
+        SliceSampler,
+    )
+    from mini_mcmc_tpu.models import isotropic_gaussian_proposal
+
+    natural = _scale_location_target()
+    tf = CoordinateTransform({0: positive()}, dim=2)
+    x0 = _natural_init(32)
+
+    mh = MetropolisHastings(natural, isotropic_gaussian_proposal(0.6), x0,
+                            transform=tf).seed(3)
+    s = mh.run(300, 100)
+    assert np.all(np.asarray(s)[:, :, 0] > 0)
+    assert np.all(np.asarray(mh.positions)[:, 0] > 0)
+    # draw-for-draw against the manual wrap (same kernel, same keys)
+    manual = MetropolisHastings(tf.wrap(natural),
+                                isotropic_gaussian_proposal(0.6),
+                                tf.to_y(x0)).seed(3)
+    np.testing.assert_allclose(np.asarray(s),
+                               np.asarray(tf.to_x(manual.run(300, 100))),
+                               rtol=1e-6, atol=1e-7)
+    # tuned() rebuild keeps the transform (and natural coordinates)
+    tuned = mh.tuned(50)
+    assert tuned.transform is tf
+    assert np.all(np.asarray(tuned.run(50, 0))[:, :, 0] > 0)
+
+    sl = SliceSampler(natural, x0, width="auto", transform=tf).seed(4)
+    assert np.all(np.asarray(sl.run(100, 50))[:, :, 0] > 0)
+
+    es = EnsembleSampler(natural, _natural_init(64), transform=tf).seed(5)
+    assert np.all(np.asarray(es.run(100, 50))[:, :, 0] > 0)
+
+    pt = ParallelTempering(natural, x0, betas=(1.0, 0.5), proposal_std=0.7,
+                           transform=tf).seed(6)
+    s = pt.run(100, 50)
+    assert s.shape == (32, 100, 2) and np.all(np.asarray(s)[:, :, 0] > 0)
+    assert np.all(np.asarray(pt.positions)[:, 0] > 0)
+    rt = pt.retuned(2)
+    assert rt.transform is tf
+    assert np.all(np.asarray(rt.run(20, 0))[:, :, 0] > 0)
