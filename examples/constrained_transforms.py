@@ -15,15 +15,16 @@ coordinate plus an explicit Jacobian term):
   ``interval(0, 1)`` (scaled sigmoid).
 
 The model density below is written against ``lam`` and ``p`` directly —
-no Jacobians in user code; ``transformed_target`` adds them. Samples map
-back with ``transform.to_x`` and always land in the natural ranges.
+no Jacobians in user code; passing ``transform=`` to the sampler adds
+them internally, and initial positions, the sample cube, and
+``.positions`` all stay in the natural ranges.
 """
 
 import jax.numpy as jnp
 import numpy as np
 
 from mini_mcmc_tpu import NUTS, init_with_seed
-from mini_mcmc_tpu.models import interval, positive, transformed_target
+from mini_mcmc_tpu.models import interval, positive
 from mini_mcmc_tpu.models.base import Target
 
 # synthetic sufficient statistics (fixed, so the posterior is exact)
@@ -65,13 +66,18 @@ def exact_moments():
 
 
 def main(n_chains=64, n_collect=500, n_discard=300):
-    wrapped, transform = transformed_target(
-        make_natural_target(), {0: positive(), 1: interval(0.0, 1.0)},
-        dim=2,
+    from mini_mcmc_tpu.models import CoordinateTransform
+
+    transform = CoordinateTransform(
+        {0: positive(), 1: interval(0.0, 1.0)}, dim=2,
     )
-    nuts = NUTS(wrapped, init_with_seed(n_chains, 2, seed=7), 0.8).seed(7)
-    sample_y = nuts.run(n_collect, n_discard)
-    x = np.asarray(transform.to_x(sample_y)).reshape(-1, 2)
+    # natural-coordinate starting points (lam > 0, p in (0, 1))
+    x0 = transform.to_x(init_with_seed(n_chains, 2, seed=7))
+    # transform= does the wrapping internally: initial positions, the
+    # sample cube, and .positions all stay in NATURAL coordinates
+    nuts = NUTS(make_natural_target(), x0, 0.8, transform=transform).seed(7)
+    sample = nuts.run(n_collect, n_discard)
+    x = np.asarray(sample).reshape(-1, 2)
 
     ex = exact_moments()
     lam_mean, lam_var = float(x[:, 0].mean()), float(x[:, 0].var())
