@@ -157,10 +157,42 @@ def _metric_record(sampler):
             "arr": jnp.asarray(arr)}
 
 
+def _bijector_probe_crc(bij, _cache={}):
+    """crc32 of a bijector's NUMERIC behavior: ``forward``/``log_det``
+    evaluated at fixed probe points on the CPU backend, quantized to 5
+    significant digits (ulp-stable across libm versions), rendered to
+    text. Names alone can't distinguish two different custom maps that
+    both kept the default ``name="bijector"`` — the probe can."""
+    # keyed on the (frozen, hashable) Bijector itself, not id(): keeps the
+    # entry pinned so a recycled id can never alias a different bijector
+    hit = _cache.get(bij)
+    if hit is not None:
+        return hit
+    import zlib
+
+    import numpy as np
+
+    pts = jnp.asarray([-3.1, -1.2, -0.3, 0.0, 0.4, 1.1, 2.7], jnp.float32)
+    with jax.default_device(jax.devices("cpu")[0]):
+        vals = np.concatenate([
+            np.asarray(bij.forward(pts), np.float64),
+            np.asarray(bij.log_det(pts), np.float64),
+        ])
+    text = bij.name + "|" + ",".join(
+        np.format_float_scientific(v, precision=5) for v in vals
+    )
+    crc = zlib.crc32(text.encode())
+    _cache[bij] = crc
+    return crc
+
+
 def _transform_record(sampler):
     """Fingerprint of the sampler's coordinate transform (None when
-    untransformed): crc32 of each coordinate's bijector name — array
-    leaves only, stable across processes (unlike ``hash(str)``). The
+    untransformed) — array leaves only, stable across processes (unlike
+    ``hash(str)``): per-coordinate crc32 of the bijector NAME (``bij``,
+    the original format, always compared) plus a crc32 of the bijector's
+    numeric behavior on fixed probe points (``bijv``, compared when both
+    records carry it — pre-probe checkpoints restore unchanged). The
     state is stored in UNCONSTRAINED coordinates, so restoring through a
     different transform would silently mis-map every position."""
     tf = getattr(sampler, "transform", None)
@@ -168,9 +200,14 @@ def _transform_record(sampler):
         return None
     import zlib
 
-    return {"bij": jnp.asarray(
-        [zlib.crc32(b.name.encode()) for b in tf._table], jnp.uint32
-    )}
+    return {
+        "bij": jnp.asarray(
+            [zlib.crc32(b.name.encode()) for b in tf._table], jnp.uint32
+        ),
+        "bijv": jnp.asarray(
+            [_bijector_probe_crc(b) for b in tf._table], jnp.uint32
+        ),
+    }
 
 
 def save_sampler(path: str, sampler, *, backend: str = "auto") -> None:
@@ -221,6 +258,13 @@ def restore_sampler(path: str, sampler, *, mesh=None):
             saved_tf["bij"].shape != cur_tf["bij"].shape
             or not bool(jnp.array_equal(saved_tf["bij"], cur_tf["bij"]))
         )
+        # numeric-probe fingerprint: catches two DIFFERENT custom maps
+        # that share a name (both left the default name "bijector");
+        # absent from pre-probe checkpoints, which restore on names alone
+        if not tf_mismatch and "bijv" in saved_tf and "bijv" in cur_tf:
+            tf_mismatch = not bool(
+                jnp.array_equal(saved_tf["bijv"], cur_tf["bijv"])
+            )
     if tf_mismatch:
         raise ValueError(
             "checkpoint coordinate transform does not match the "

@@ -162,7 +162,8 @@ def derive_grad_dc(logp_dc: Callable) -> Callable:
 
 
 def validate_dc_forms(target: "Target", positions, *, rtol: float = 3e-4,
-                      atol: float = 1e-4, max_rows: int = 256) -> None:
+                      atol: float = 1e-4, max_rows: int = 256,
+                      need_grad: bool = True) -> None:
     """Check hand-written chains-on-lanes forms against the batch forms.
 
     The fused Pallas tiers evaluate the target ONLY through
@@ -171,11 +172,21 @@ def validate_dc_forms(target: "Target", positions, *, rtol: float = 3e-4,
     silently sample the wrong posterior through every ``use_pallas`` path.
     This runs once at sampler construction on (up to ``max_rows`` of) the
     actual initial positions in the ``[D, C]`` lanes layout and raises
-    ``ValueError`` on mismatch. Derived forms are definitionally
-    consistent with the batch form, so a ``Target`` without a hand-written
-    ``logp_dc`` validates trivially; the DERIVED gradient of a
-    hand-written ``logp_dc`` is still checked (it is silently wrong when
-    ``logp_dc`` reduces across lanes — see :func:`derive_grad_dc`).
+    ``ValueError`` on mismatch. A ``Target`` with NEITHER hand-written
+    form validates trivially (both derive from the batch form); a
+    hand-written ``grad_dc`` is checked even when ``logp_dc`` is absent
+    (``dc_forms()`` still hands it to the fused kernels); the DERIVED
+    gradient of a hand-written ``logp_dc`` is also checked (it is
+    silently wrong when ``logp_dc`` reduces across lanes — see
+    :func:`derive_grad_dc`).
+
+    ``need_grad``: gradient-free fused kernels (MH, parallel tempering)
+    pass ``False`` — they consume only ``logp_dc`` VALUES, so the
+    derived-gradient probe is skipped for them: a value-correct
+    ``logp_dc`` whose internals couple lanes (making only the DERIVED
+    gradient wrong) stays usable with those kernels. A hand-written
+    ``grad_dc`` is still checked regardless — if the user wrote one, it
+    should be right.
 
     Opt out with the samplers' ``validate_dc=False`` (exotic targets whose
     logp is non-finite at the initial positions, or when construction-time
@@ -192,17 +203,19 @@ def validate_dc_forms(target: "Target", positions, *, rtol: float = 3e-4,
 
     import numpy as np
 
-    if target.logp_dc is None:
-        return  # derived logp_dc IS the batch form; nothing to disagree
+    if target.logp_dc is None and target.grad_dc is None:
+        return  # both forms derive from the batch form; nothing to disagree
     try:
         ctx = jax.default_device(jax.devices("cpu")[0])
     except RuntimeError:  # pragma: no cover - cpu backend always present
         ctx = contextlib.nullcontext()
     with ctx:
-        _validate_dc_forms_impl(target, positions, np, rtol, atol, max_rows)
+        _validate_dc_forms_impl(target, positions, np, rtol, atol, max_rows,
+                                need_grad)
 
 
-def _validate_dc_forms_impl(target, positions, np, rtol, atol, max_rows):
+def _validate_dc_forms_impl(target, positions, np, rtol, atol, max_rows,
+                            need_grad):
     # round-trip through host: committed device arrays would otherwise pin
     # the probe back onto their own (TPU) device despite default_device
     x = jnp.asarray(np.asarray(positions)[:max_rows])
@@ -233,17 +246,21 @@ def _validate_dc_forms_impl(target, positions, np, rtol, atol, max_rows):
                            atol=atol * np.maximum(np.abs(want), 1.0))
         return not np.all(close | both_ninf)
 
-    want_lp = np.asarray(target.batch_logp(x), np.float64)
-    got_lp = np.asarray(target.logp_dc(x_dc), np.float64)
-    if got_lp.shape != want_lp.shape:
-        raise ValueError(
-            f"Target.logp_dc returned shape {got_lp.shape} for a [D, C] "
-            f"input; expected lanes shape {want_lp.shape}"
-        )
-    if _mismatch(want_lp, got_lp):
-        _fail("logp_dc", want_lp, got_lp)
+    if target.logp_dc is not None:
+        want_lp = np.asarray(target.batch_logp(x), np.float64)
+        got_lp = np.asarray(target.logp_dc(x_dc), np.float64)
+        if got_lp.shape != want_lp.shape:
+            raise ValueError(
+                f"Target.logp_dc returned shape {got_lp.shape} for a "
+                f"[D, C] input; expected lanes shape {want_lp.shape}"
+            )
+        if _mismatch(want_lp, got_lp):
+            _fail("logp_dc", want_lp, got_lp)
 
-    if jnp.issubdtype(x.dtype, jnp.floating):
+    # gradient probe: always for a hand-written grad_dc; for the derived
+    # gradient only when the requesting kernel consumes gradients
+    if jnp.issubdtype(x.dtype, jnp.floating) and (
+            need_grad or target.grad_dc is not None):
         _, grad_dc = target.dc_forms()
         _, want_g = target.batch_logp_and_grad(x)
         want_g = np.asarray(want_g, np.float64)

@@ -37,6 +37,7 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math as _math
 from typing import Callable, Mapping, Optional, Sequence
 
@@ -69,6 +70,7 @@ class Bijector:
     name: str = "bijector"
 
 
+@functools.lru_cache(maxsize=None)
 def identity() -> Bijector:
     """x = y (the default for unlisted coordinates)."""
     return Bijector(lambda y: y, lambda x: x, jnp.zeros_like, "identity")
@@ -136,6 +138,7 @@ _EXP_LIM = _soft_saturate(lambda fi: 0.9 * _math.log(float(fi.max)))
 _SIG_LIM = _soft_saturate(lambda fi: -_math.log(float(fi.eps)))
 
 
+@functools.lru_cache(maxsize=None)
 def positive() -> Bijector:
     """x = exp(y'): R -> (0, inf) — positive scales (tau, sigma).
 
@@ -152,6 +155,7 @@ def positive() -> Bijector:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def lower_bounded(low: float) -> Bijector:
     """x = low + exp(y'): R -> (low, inf)."""
     low = float(low)
@@ -164,6 +168,7 @@ def lower_bounded(low: float) -> Bijector:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def upper_bounded(high: float) -> Bijector:
     """x = high - exp(y'): R -> (-inf, high). NOTE: DECREASING in y (the
     log-Jacobian is of the absolute derivative)."""
@@ -177,6 +182,7 @@ def upper_bounded(high: float) -> Bijector:
     )
 
 
+@functools.lru_cache(maxsize=None)
 def interval(low: float, high: float) -> Bijector:
     """x = low + (high - low) * sigmoid(y'): R -> (low, high) — bounded
     parameters (probabilities, correlations).
@@ -258,7 +264,11 @@ class CoordinateTransform:
         self.dim = len(table)
         self._table = [b if b is not None else identity() for b in table]
         # group non-identity coordinates by bijector object: one masked
-        # whole-array application per distinct bijector
+        # whole-array application per distinct bijector. The builtin
+        # factories are lru_cached so the natural construction
+        # `{i: positive() for i in range(10_000)}` yields ONE group (one
+        # masked pass), not 10,000 — custom Bijector instances group by
+        # identity, so share the instance across coordinates.
         groups: dict[int, tuple[Bijector, list[int]]] = {}
         for d, bij in enumerate(self._table):
             if bij.name == "identity":

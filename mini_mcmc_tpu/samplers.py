@@ -44,6 +44,38 @@ def _fresh_key(seed: Optional[int]) -> jax.Array:
     return jax.random.PRNGKey(seed)
 
 
+def _check_transformed_inits(transform, y):
+    """Eagerly reject initial positions outside the transform's range.
+
+    ``to_y`` maps natural -> unconstrained via each bijector's inverse,
+    which is only defined on the bijector's range: a natural user mistake
+    (a negative init for a ``positive()`` coordinate, a probability above
+    1 for ``interval``) produces ``log`` of a negative number — NaN — and
+    the kernel would then cache NaN logp/grad and freeze that chain
+    silently. One eager host check at construction turns that into a
+    named error. (Values exactly ON a boundary don't reach here: the
+    built-in saturating inverses snap them just inside the range.)"""
+    import numpy as np
+
+    arr = np.asarray(y)
+    bad = ~np.isfinite(arr)
+    if not bad.any():
+        return
+    chains, dims = np.nonzero(bad.reshape(arr.shape[0], -1))
+    shown = ", ".join(
+        f"(chain {c}, coordinate {d}: {transform._table[d].name})"
+        for c, d in list(zip(chains, dims))[:5]
+    )
+    raise ValueError(
+        f"initial positions map to non-finite unconstrained values at "
+        f"{int(bad.sum())} entries — they lie outside the transform's "
+        f"range (e.g. a negative value for a positive() coordinate, or a "
+        f"value above `high` for interval()). First offenders: {shown}. "
+        "Initial positions are given in NATURAL coordinates and must lie "
+        "inside every constrained coordinate's range."
+    )
+
+
 def _wrap_sampler_target(target, initial_positions, transform, metric):
     """Compose the gradient samplers' coordinate wrappers.
 
@@ -59,6 +91,7 @@ def _wrap_sampler_target(target, initial_positions, transform, metric):
         kernel_target = transform.wrap(target)
         positions_map = transform.to_x
         initial_positions = transform.to_y(jnp.asarray(initial_positions))
+        _check_transformed_inits(transform, initial_positions)
     if metric is not None:
         from .models.precondition import precondition_target
 
@@ -254,8 +287,12 @@ class MetropolisHastings(_KernelSampler):
         if use_pallas and validate_dc:
             # hand-written chains-on-lanes forms checked against the batch
             # form once, at construction — a wrong logp_dc would silently
-            # sample the wrong posterior through every fused tier
-            validate_dc_forms(kernel_target, initial_positions)
+            # sample the wrong posterior through every fused tier.
+            # need_grad=False: the fused MH kernel consumes only logp_dc
+            # VALUES, so the derived-gradient lane-coupling probe is
+            # irrelevant here
+            validate_dc_forms(kernel_target, initial_positions,
+                              need_grad=False)
         init_fn, step_fn = mh_kernel(kernel_target, proposal,
                                      use_pallas=use_pallas,
                                      steps_per_call=steps_per_call,
@@ -755,7 +792,10 @@ class ParallelTempering(_KernelSampler):
             target, initial_positions, transform, None,
         )
         if use_pallas and validate_dc:
-            validate_dc_forms(kernel_target, initial_positions)
+            # need_grad=False: the fused tempering kernel reads only
+            # logp_dc values (random-walk inner moves + swap ratios)
+            validate_dc_forms(kernel_target, initial_positions,
+                              need_grad=False)
         n_cold = jnp.shape(jnp.asarray(initial_positions))[0]
         self._n_cold = int(n_cold)
         init_fn, step_fn = tempering_kernel(

@@ -612,6 +612,60 @@ def test_cross_lane_reduction_logp_dc_caught_by_grad_probe():
             pallas_interpret=True)
 
 
+def test_handwritten_grad_dc_without_logp_dc_checked():
+    """A corrupted hand-written grad_dc supplied WITHOUT a logp_dc must
+    still fail construction: dc_forms() hands the hand-written gradient to
+    the fused kernels even when logp_dc derives, so the validator cannot
+    early-return on logp_dc-is-None alone (code-review r5)."""
+    import dataclasses
+
+    import pytest
+
+    target = rosenbrock_nd()
+    bad = dataclasses.replace(
+        target, logp_dc=None,
+        grad_dc=lambda p, _f=target.grad_dc: -_f(p),  # wrong sign
+    )
+    with pytest.raises(ValueError, match="grad_dc"):
+        HMC(bad, init_det(8, 3), 0.02, 2, use_pallas=True,
+            pallas_interpret=True)
+
+
+def test_gradient_free_fused_samplers_skip_derived_grad_probe():
+    """The fused MH / tempering kernels read only logp_dc VALUES. A
+    value-correct logp_dc whose internals couple lanes (so only the
+    AD-DERIVED gradient is wrong) must stay constructible there, while
+    the gradient samplers still reject it (validate_dc_forms need_grad
+    scoping, code-review r5)."""
+    import dataclasses
+
+    import pytest
+
+    from mini_mcmc_tpu import MetropolisHastings, ParallelTempering
+    from mini_mcmc_tpu.models import gaussian2d, isotropic_gaussian_proposal
+
+    target = gaussian2d([0.0, 0.0], [[2.0, 0.5], [0.5, 1.0]])
+
+    def sneaky(p, _f=target.logp_dc):
+        lp = _f(p)
+        total = jnp.sum(lp)  # value-preserving cross-lane coupling
+        return lp * (total / jax.lax.stop_gradient(total))
+
+    bad = dataclasses.replace(target, logp_dc=sneaky, grad_dc=None)
+    pos = init_det(16, 2)
+    # value-only consumers pass construction-time validation (running the
+    # fused kernels additionally needs n_chains % 1024 == 0 — the
+    # validation under test happens at construction, as in
+    # test_corrupted_logp_dc_fails_construction above)
+    MetropolisHastings(bad, isotropic_gaussian_proposal(1.0), pos,
+                       use_pallas="full", pallas_interpret=True)
+    ParallelTempering(bad, pos, betas=(1.0, 0.5), use_pallas="full",
+                      pallas_interpret=True)
+    # gradient consumers reject at construction
+    with pytest.raises(ValueError, match="grad_dc"):
+        HMC(bad, pos, 0.1, 2, use_pallas=True, pallas_interpret=True)
+
+
 def test_validate_dc_opt_out():
     import dataclasses
 

@@ -388,3 +388,108 @@ def test_transform_gradient_free_samplers():
     rt = pt.retuned(2)
     assert rt.transform is tf
     assert np.all(np.asarray(rt.run(20, 0))[:, :, 0] > 0)
+
+
+def test_out_of_range_natural_inits_raise():
+    """Initial positions outside a constrained coordinate's range map to
+    NaN/-inf under to_y and would freeze that chain silently (cached NaN
+    logp/grad); construction must reject them by name (code-review r5)."""
+    natural = _scale_location_target()
+    tf = CoordinateTransform({0: positive()}, dim=2)
+    x0 = np.asarray(_natural_init(8)).copy()
+    x0[2, 0] = -1.0  # outside (0, inf)
+    with pytest.raises(ValueError, match="non-finite"):
+        HMC(natural, x0, 0.05, 3, transform=tf)
+    with pytest.raises(ValueError, match="non-finite"):
+        NUTS(natural, x0, 0.8, transform=tf)
+    # out-of-range on the interval side too (p > 1), via a gradient-free
+    # sampler (same wrap path)
+    from mini_mcmc_tpu import MetropolisHastings
+    from mini_mcmc_tpu.models import isotropic_gaussian_proposal
+
+    tfi = CoordinateTransform({1: interval(0.0, 1.0)}, dim=2)
+    xb = np.asarray(_natural_init(8)).copy()
+    xb[:, 1] = 0.5
+    xb[1, 1] = 1.5  # outside (0, 1)
+    with pytest.raises(ValueError, match="non-finite"):
+        MetropolisHastings(natural, isotropic_gaussian_proposal(0.5), xb,
+                           transform=tfi)
+    # EXACT boundary values do not error: the saturating inverse snaps
+    # them just inside the range (log(0) -> the soft-saturation edge)
+    xs = np.asarray(_natural_init(8)).copy()
+    xs[2, 0] = 0.0
+    y = tf.to_y(xs)
+    assert np.all(np.isfinite(np.asarray(y)))
+    assert np.all(np.asarray(tf.to_x(y))[:, 0] > 0)
+
+
+def test_builtin_bijectors_group_into_one_masked_pass():
+    """The builtin factories are cached: the natural per-coordinate
+    construction {i: positive() for i in range(d)} must collapse to ONE
+    masked whole-array pass, not d of them (code-review r5: id-grouping
+    over uncached factories was O(d) passes -> O(d^2) work)."""
+    from mini_mcmc_tpu.models.transforms import Bijector
+
+    d = 10_000
+    tf = CoordinateTransform({i: positive() for i in range(d)}, dim=d)
+    assert len(tf._groups) == 1
+    mixed = CoordinateTransform(
+        {0: positive(), 1: interval(0.0, 1.0), 2: interval(0.0, 1.0),
+         3: positive(), 4: lower_bounded(2.0), 5: lower_bounded(2.0)},
+        dim=8,
+    )
+    assert len(mixed._groups) == 3
+    # distinct parameterizations never merge
+    two = CoordinateTransform({0: interval(0.0, 1.0), 1: interval(0.0, 2.0)},
+                              dim=2)
+    assert len(two._groups) == 2
+    # custom Bijector instances group by identity only
+    mk = lambda: Bijector(jnp.exp, jnp.log, lambda y: y)  # noqa: E731
+    a, b = mk(), mk()
+    custom = CoordinateTransform({0: a, 1: a, 2: b}, dim=3)
+    assert len(custom._groups) == 2
+
+
+def test_checkpoint_probe_distinguishes_same_named_custom_bijectors(tmp_path):
+    """Two DIFFERENT custom maps that both kept the default name must not
+    fingerprint-collide: the numeric-probe crc catches what the name crc
+    cannot (code-review r5). A numerically identical fresh instance still
+    restores (the probe keys on behavior, not object identity)."""
+    from mini_mcmc_tpu import MetropolisHastings
+    from mini_mcmc_tpu.checkpoint import restore_sampler, save_sampler
+    from mini_mcmc_tpu.models import gaussian2d, isotropic_gaussian_proposal
+    from mini_mcmc_tpu.models.transforms import Bijector
+
+    def mk_exp():  # default name "bijector"
+        return Bijector(jnp.exp, jnp.log, lambda y: y)
+
+    def mk_softplus():  # also default name "bijector", different map
+        return Bijector(
+            lambda y: jnp.logaddexp(y, 0.0),
+            lambda x: x + jnp.log(-jnp.expm1(-x)),
+            lambda y: -jnp.log1p(jnp.exp(-y)),
+        )
+
+    target = gaussian2d([1.0, 0.0], [[1.0, 0.0], [0.0, 1.0]])
+    prop = isotropic_gaussian_proposal(0.4)
+    x0 = np.abs(np.asarray(init_det(8, 2))) + 0.5
+
+    tf_a = CoordinateTransform({0: mk_exp()}, dim=2)
+    s = MetropolisHastings(target, prop, x0, transform=tf_a).seed(1)
+    s.run(3, 0)
+    path = str(tmp_path / "custom_tf")
+    save_sampler(path, s)
+
+    # same map, fresh instance: restores
+    ok = MetropolisHastings(
+        target, prop, x0, transform=CoordinateTransform({0: mk_exp()}, dim=2)
+    ).seed(9)
+    restore_sampler(path, ok)
+
+    # different map, same (default) name: rejected
+    bad = MetropolisHastings(
+        target, prop, x0,
+        transform=CoordinateTransform({0: mk_softplus()}, dim=2),
+    ).seed(9)
+    with pytest.raises(ValueError, match="transform"):
+        restore_sampler(path, bad)
