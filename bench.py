@@ -124,15 +124,26 @@ def _timed_best(run_once, reps=3):
     chain just advanced between reps), so quality gates run on the kept
     one. reps=3 (was 2) since the perf ratchet landed: a fluke-slow
     headline now FAILS the run, so one extra ~seconds-scale rep per
-    stage is cheap insurance."""
-    best_s, best_e = None, float("inf")
+    stage is cheap insurance.
+
+    At most ONE sample cube is held at any moment: the previous rep's
+    cube is freed BEFORE the next dispatch. Keeping the best-rep cube
+    while the next rep computes would hold two cubes at once — the
+    flagship's 65k x 8192 x 3 f32 cube is ~6.4 GB, and the config is
+    sized to the HBM edge, so the doubled peak OOMs whenever a
+    neighboring tenant on the shared chip holds memory (observed
+    RESOURCE_EXHAUSTED on an identical program that passed the day
+    before). The returned sample is the LAST rep's (any rep's sample is
+    equally valid), paired with the fastest rep's elapsed."""
+    best_e = float("inf")
+    s = None
     for _ in range(reps):
+        s = None  # free the previous cube before dispatching the next
         t0 = time.monotonic()
         s = run_once()
         e = time.monotonic() - t0
-        if e < best_e:
-            best_s, best_e = s, e
-    return best_s, best_e
+        best_e = min(best_e, e)
+    return s, best_e
 
 
 def bench_hmc_flagship() -> dict:
@@ -1382,9 +1393,11 @@ def main(extra: bool = False):
     try:
         _staged("beyond", lambda: bench_beyond(beyond))
     except Exception as e:  # noqa: BLE001 — recorded, not swallowed
-        if "UNAVAILABLE" in str(e) or "device error" in str(e):
-            # transient tunnel outage: let the __main__ 90-s retry
-            # handle it instead of publishing a degraded artifact
+        if any(k in str(e) for k in
+               ("UNAVAILABLE", "device error", "RESOURCE_EXHAUSTED")):
+            # transient tunnel outage / neighbor-tenant memory: let the
+            # __main__ 90-s retry handle it instead of publishing a
+            # degraded artifact
             raise
         beyond["beyond_gate_failed"] = f"{type(e).__name__}: {e}"
         print(f"[bench] beyond stage FAILED: {e}", file=sys.stderr,
@@ -1393,7 +1406,8 @@ def main(extra: bool = False):
         beyond["eight_schools_10d"] = _staged("eight_schools",
                                               bench_eight_schools)
     except Exception as e:  # noqa: BLE001 — recorded, not swallowed
-        if "UNAVAILABLE" in str(e) or "device error" in str(e):
+        if any(k in str(e) for k in
+               ("UNAVAILABLE", "device error", "RESOURCE_EXHAUSTED")):
             raise
         beyond["eight_schools_gate_failed"] = f"{type(e).__name__}: {e}"
         print(f"[bench] eight_schools stage FAILED: {e}", file=sys.stderr,
@@ -1613,12 +1627,15 @@ if __name__ == "__main__":
         }))
         sys.exit(1)
     # The tunneled TPU occasionally throws a transient
-    # "UNAVAILABLE: TPU device error"; one retry after a cooldown rescues
-    # the run. Anything else propagates immediately.
+    # "UNAVAILABLE: TPU device error"; RESOURCE_EXHAUSTED is likewise
+    # often transient on the SHARED chip (a neighboring tenant's
+    # allocations, which clear). One retry after a cooldown rescues the
+    # run. Anything else propagates immediately.
     try:
         main(extra)
     except Exception as e:
-        if "UNAVAILABLE" not in str(e) and "device error" not in str(e):
+        if not any(k in str(e) for k in
+                   ("UNAVAILABLE", "device error", "RESOURCE_EXHAUSTED")):
             raise
         time.sleep(90)
         main(extra)
