@@ -611,6 +611,53 @@ def bench_extras() -> dict:
         },
         "quality_gate": "passed",
     }
+
+    # Separable fused tier on the same TPU shape (ops/pallas/hmc_bigd.py,
+    # HMC(use_pallas="separable")): the whole trajectory runs per VMEM
+    # tile — momentum drawn in-kernel (never touching HBM), gradient
+    # re-derived from the density per tile (no [C, D] gradient cache
+    # anywhere; the state is the grad-free HMCSepState) — accept in XLA.
+    # Per-step HBM traffic is independent of L; measured integrator slope
+    # 0.022 ms/leapfrog vs 0.059 for the tuned XLA scan (2.7x).
+    del sub
+    sample = None  # free the XLA cube BEFORE the fused run (5.2 GB each)
+    hmc_sep = HMC(standard_normal(), init_with_seed(c_hd, d_hd, seed=2),
+                  eps_hd, l_hd, use_pallas="separable").seed(2)
+    _sync(hmc_sep.run(n_hd, n_hd, time_major=True))
+    sample_s, elapsed_s = _timed_best(
+        lambda: _sync(hmc_sep.run(n_hd, n_hd, time_major=True)))
+    sub_s = _lax.slice(sample_s, (0, 0, 0), (n_hd, c_hd, d_diag))
+    rhat_s, ess_s = split_rhat_mean_ess(sub_s, time_major=True)
+    ess_mean_s = float(jnp.mean(ess_s))
+    rhat_mean_s = float(jnp.mean(rhat_s))
+    m_s = float(jnp.mean(sample_s))
+    v_s = float(jnp.var(sample_s))
+    _gate("hmc10k-1024c-sep mean", abs(m_s) < 0.02, m_s)
+    _gate("hmc10k-1024c-sep var", abs(v_s - 1.0) < 0.05, v_s)
+    _gate("hmc10k-1024c-sep rhat", 0.95 <= rhat_mean_s <= 1.05,
+          rhat_mean_s)
+    _gate("hmc10k-1024c-sep ess floor", ess_mean_s >= 0.02 * c_hd * n_hd,
+          (ess_mean_s, c_hd * n_hd))
+    speedup = elapsed / elapsed_s
+    # the fused tier must never lose to the XLA leapfrog it replaces
+    # (0.9: min-of-reps still carries a few % of time-slicing noise)
+    _gate("hmc10k-1024c-sep speedup", speedup >= 0.9, speedup)
+    out["hmc_d10000_1024c"]["separable_fused"] = {
+        "config": "same shape, HMC(use_pallas='separable'): VMEM-resident"
+        " trajectory (in-kernel momentum, derived gradient, no gradient"
+        " cache), accept in XLA",
+        "elapsed_s": elapsed_s,
+        "steps_per_sec": steps / elapsed_s,
+        "draws_per_sec": steps * c_hd / elapsed_s,
+        "coordinate_updates_per_sec": steps * c_hd * d_hd / elapsed_s,
+        "grad_evals_per_sec": steps * c_hd * l_hd / elapsed_s,
+        "ess_mean": ess_mean_s,
+        "rhat_mean": rhat_mean_s,
+        "mean": m_s,
+        "var": v_s,
+        "speedup_vs_xla_leapfrog": speedup,
+        "quality_gate": "passed",
+    }
     return out
 
 
@@ -1474,6 +1521,9 @@ _PERF_FLOORS = {
     "hmc_d10000": {"rate": 1500.0},  # r05: 3592 steps/s
     # r05: 1.11e6 draws/s / 3.78e4 (the HBM-bound high-dim stage)
     "hmc_d10000_1024c": {"rate": 4.4e5, "ess_mean": 9.0e3},
+    # r05 (2026-08-20): ~1.39e6 draws/s — the separable fused tier,
+    # 1.27x the XLA leapfrog at this L=10 shape (1.96x at L=40)
+    "hmc_d10000_1024c.separable_fused": {"rate": 5.5e5, "ess_mean": 9.0e3},
     # r05: 4.38e8 / 2.78e7
     "mala_tuned_65k": {"rate": 1.7e8, "ess_mean": 7.0e6},
     # r05: 7.30e8 / 1.14e8

@@ -8,6 +8,7 @@ from .base import (
     derive_grad_dc,
     derive_logp_dc,
     validate_dc_forms,
+    validate_separable,
 )
 from .discrete import (
     Categorical,
@@ -59,6 +60,7 @@ __all__ = [
     "derive_grad_dc",
     "derive_logp_dc",
     "validate_dc_forms",
+    "validate_separable",
     "estimate_preconditioner",
     "precondition_target",
     "binomial_target",

@@ -279,6 +279,66 @@ def _validate_dc_forms_impl(target, positions, np, rtol, atol, max_rows,
             _fail(form, want_g, got_g)
 
 
+def validate_separable(target: "Target", positions, *, rtol: float = 3e-4,
+                       atol: float = 1e-4, max_rows: int = 64) -> None:
+    """Check that the target's density is coordinate-separable.
+
+    The large-D fused HMC tier (``HMC(use_pallas="separable")``,
+    ``ops/pallas/hmc_bigd.py``) evaluates ``batch_logp`` independently on
+    coordinate TILES and sums the partials — only the true density when
+    ``logp(x) = sum_d f_d(x_d)`` exactly, including constants (a
+    normalization constant not attached to per-coordinate terms breaks
+    the partial-sum reconstruction). This probes additivity on (up to
+    ``max_rows`` of) the actual initial positions: the full-D density
+    must equal the sum over three coordinate chunks. A correlated target
+    (off-diagonal covariance, Rosenbrock coupling) raises ``ValueError``
+    instead of silently sampling a product approximation.
+
+    Runs eagerly on the CPU backend (same rationale as
+    :func:`validate_dc_forms`); opt out with ``validate_dc=False``.
+    """
+    import contextlib
+
+    import numpy as np
+
+    try:
+        ctx = jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # pragma: no cover - cpu backend always present
+        ctx = contextlib.nullcontext()
+    with ctx:
+        x = jnp.asarray(np.asarray(positions)[:max_rows])
+        if x.ndim != 2:
+            raise ValueError(
+                f"positions must be [n_chains, D]; got shape {x.shape}"
+            )
+        d = x.shape[1]
+        if d < 2:
+            return  # one coordinate is trivially separable
+        cuts = sorted({d // 3, 2 * d // 3, d} - {0})
+        want = np.asarray(target.batch_logp(x), np.float64)
+        got = np.zeros_like(want)
+        lo = 0
+        for hi in cuts:
+            got = got + np.asarray(target.batch_logp(x[:, lo:hi]),
+                                   np.float64)
+            lo = hi
+        close = np.isclose(got, want, rtol=rtol,
+                           atol=atol * np.maximum(np.abs(want), 1.0))
+        if not np.all(close | (np.isneginf(want) & np.isneginf(got))):
+            err = np.abs(got - want)
+            raise ValueError(
+                "target is not coordinate-separable: logp over coordinate "
+                "chunks does not sum to the full logp (max abs err "
+                f"{np.nanmax(err):.3g}). The separable fused HMC tier "
+                "(use_pallas='separable') evaluates the density "
+                "independently per coordinate tile and would sample a "
+                "WRONG (product-approximation) posterior. Use "
+                "use_pallas=True/'full' (small D) or the XLA path, or "
+                "pass validate_dc=False if the density is separable but "
+                "non-additive only through float noise."
+            )
+
+
 @dataclasses.dataclass(frozen=True)
 class Proposal:
     """A proposal kernel q(x' | x) with explicit PRNG keys.

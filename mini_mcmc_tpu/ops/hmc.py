@@ -35,6 +35,17 @@ class HMCState(NamedTuple):
     grad: jax.Array  # [C, D] cached gradient at positions
 
 
+class HMCSepState(NamedTuple):
+    """State for the large-D separable tier (``use_pallas="separable"``):
+    no gradient cache — the fused kernel recomputes the (elementwise)
+    gradient from the positions in VMEM, so carrying a [C, D] gradient
+    through HBM every step would only burn the bandwidth the tier exists
+    to save."""
+
+    positions: jax.Array  # [C, D]
+    logp: jax.Array  # [C] cached target log density at positions
+
+
 def hmc_kernel(
     target: Target,
     step_size: float,
@@ -60,6 +71,14 @@ def hmc_kernel(
     in the standard path, so the algorithm (and its PRNG stream) is
     unchanged; only the integrator implementation differs.
 
+    ``use_pallas == "separable"`` selects the large-D tier for
+    coordinate-separable targets (``logp(x) = sum_d f_d(x_d)``,
+    ``ops/pallas/hmc_bigd.py``): the whole trajectory runs per
+    [block_c, block_d] VMEM tile with in-kernel momentum (hardware PRNG —
+    distribution-identical, different stream) and the accept in XLA.
+    Separability is validated at sampler construction
+    (``models.base.validate_separable``).
+
     ``jitter`` > 0 scales the step size per sampler step by a shared
     Uniform[1-jitter, 1+jitter] factor (Neal 2011's standard remedy for
     fixed-(eps, L) periodicity; the reference has no jitter). The factor is
@@ -81,7 +100,23 @@ def hmc_kernel(
     pallas_traj = None
     pallas_full = None
     pallas_multistep = None
-    if use_pallas:
+    pallas_sep = None
+    if use_pallas == "separable":
+        # Large-D tier for coordinate-separable targets: the whole
+        # trajectory runs per VMEM tile (momentum drawn in-kernel, never
+        # touching HBM; gradient recomputed from the density per tile);
+        # the kernel emits per-(chain, d-tile) partial energies and the
+        # accept/select runs in XLA. No dc forms needed — the kernel
+        # evaluates batch_logp on coordinate tiles. (A variant with the
+        # accept fused in-kernel over [bc, D] tiles was measured SLOWER
+        # at L=40 — an unexplained Mosaic scheduling effect — and no
+        # faster at L=10, so one kernel shape is kept.)
+        from .pallas.hmc_bigd import make_pallas_hmc_separable
+
+        pallas_sep = make_pallas_hmc_separable(
+            target.batch_logp, n_leapfrog, interpret=pallas_interpret,
+        )
+    elif use_pallas:
         # Both forms derive when absent (models/base.py dc_forms): a plain
         # Target(logp=...) reaches the fused tiers with zero extra code.
         logp_dc, grad_dc = target.dc_forms()
@@ -119,7 +154,10 @@ def hmc_kernel(
                 interpret=pallas_interpret,
             )
 
-    def init_fn(positions: jax.Array) -> HMCState:
+    def init_fn(positions: jax.Array):
+        if pallas_sep is not None:
+            return HMCSepState(positions=positions,
+                               logp=target.batch_logp(positions))
         logp, grad = target.batch_logp_and_grad(positions)
         return HMCState(positions=positions, logp=logp, grad=grad)
 
@@ -145,6 +183,31 @@ def hmc_kernel(
         )
         return pos, mom, logp, grad
 
+    def _sep_step(state: HMCSepState, key: jax.Array, eps: jax.Array):
+        """One separable-tier step: the fused per-tile trajectory kernel
+        (momentum in-kernel, HBM traffic independent of L), then
+        accept/select in XLA from the kernel's per-(chain, d-tile)
+        partial energies. No gradient buffer exists anywhere — the
+        kernel re-derives it from the density in VMEM."""
+        pos = state.positions
+        c = pos.shape[0]
+        eps = jnp.asarray(eps, pos.dtype)
+        seed = key_to_seed(jax.random.fold_in(key, 0))
+        pos_prop, pe, ke0, ke1 = pallas_sep(pos, seed, eps)
+        logp_prop = jnp.sum(pe, axis=1)
+        h_current = -state.logp + jnp.sum(ke0, axis=1)
+        h_proposed = -logp_prop + jnp.sum(ke1, axis=1)
+        accept_logp = h_current - h_proposed
+        alpha_c = jnp.exp(jnp.minimum(accept_logp, 0.0))
+        alpha = jnp.mean(jnp.where(jnp.isnan(alpha_c), 0.0, alpha_c))
+        u = jax.random.uniform(
+            jax.random.fold_in(key, 1), (c,), accept_logp.dtype
+        )
+        accept = accept_logp >= jnp.log(u)  # NaN compares False
+        positions = jnp.where(accept[:, None], pos_prop, pos)
+        logp = jnp.where(accept, logp_prop, state.logp)
+        return HMCSepState(positions, logp), alpha
+
     def step_eps(state: HMCState, key: jax.Array, eps: jax.Array):
         """One non-fused HMC step at a (possibly traced) step size, also
         returning the cross-chain mean Metropolis acceptance probability
@@ -153,6 +216,8 @@ def hmc_kernel(
         ``step_fn`` delegates here (alpha is dead code under jit when
         unused), so the tuner adapts exactly the kernel that runs."""
         n_chains = state.positions.shape[0]
+        if pallas_sep is not None:
+            return _sep_step(state, key, eps)
         key_mom, key_u = jax.random.split(key)
         eps = jnp.asarray(eps, state.positions.dtype)
         mom0 = jax.random.normal(

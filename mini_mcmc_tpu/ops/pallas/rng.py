@@ -64,3 +64,22 @@ def normals(shape):
     u2 = uniform(shape)
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(_TWO_PI * u2)
+
+
+def normals_paired(shape):
+    """Standard normals using BOTH Box-Muller outputs (cos and sin of one
+    angle) when the trailing dim is even: per pair of draws this costs one
+    log/sqrt and two uniforms instead of two logs/sqrts and four — about
+    half the transcendental work of :func:`normals`. Falls back to
+    :func:`normals` for odd trailing dims. Used by the large-D separable
+    HMC kernel (``hmc_bigd.py``), where momentum RNG is a measurable slice
+    of the per-step VPU budget; the small-D kernels keep :func:`normals`
+    so their established hardware-PRNG streams stay unchanged."""
+    if shape[-1] % 2:
+        return normals(shape)
+    half = shape[:-1] + (shape[-1] // 2,)
+    u1 = uniform(half)
+    u2 = uniform(half)
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = _TWO_PI * u2
+    return jnp.concatenate([r * jnp.cos(ang), r * jnp.sin(ang)], axis=-1)

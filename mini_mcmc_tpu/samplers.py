@@ -26,7 +26,13 @@ import jax
 import jax.numpy as jnp
 
 from . import stats as stats_mod
-from .models.base import Conditional, Proposal, Target, validate_dc_forms
+from .models.base import (
+    Conditional,
+    Proposal,
+    Target,
+    validate_dc_forms,
+    validate_separable,
+)
 from .ops.elliptical import elliptical_kernel
 from .ops.ensemble import ensemble_kernel
 from .ops.gibbs import gibbs_kernel
@@ -399,7 +405,12 @@ class HMC(_KernelSampler):
             # validate the target the fused tiers actually consume (the
             # full transform+metric wrap) on kernel coordinates: a wrong
             # user form OR a broken wrapper composition both surface here
-            validate_dc_forms(kernel_target, initial_positions)
+            if use_pallas == "separable":
+                # the large-D tier needs coordinate separability, not dc
+                # forms (it tiles batch_logp over coordinate chunks)
+                validate_separable(kernel_target, initial_positions)
+            else:
+                validate_dc_forms(kernel_target, initial_positions)
         init_fn, step_fn = hmc_kernel(kernel_target, step_size, n_leapfrog,
                                       unroll=unroll, use_pallas=use_pallas,
                                       pallas_interpret=pallas_interpret,

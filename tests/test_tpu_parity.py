@@ -277,6 +277,32 @@ out["hw_rng"] = {
     "unif_ks": float(kstest(unifs, "uniform").statistic),
 }
 
+# Large-D separable tier (ops/pallas/hmc_bigd.py): VMEM-resident
+# trajectory kernel + XLA accept on a d=256 standard normal (d=256 has
+# 128-multiple divisors, so this ALSO exercises the multi-d-tile partial
+# -energy reconstruction), cross-validated against the XLA lattice.
+from mini_mcmc_tpu.models import standard_normal
+
+sn = standard_normal()
+
+def sep_summary(sample):
+    rhat, ess = split_rhat_mean_ess(sample)
+    n_draws = sample.shape[0] * sample.shape[1]
+    return {
+        "mean": float(jnp.mean(sample)),
+        "var": float(jnp.var(sample)),
+        "rhat_mean": float(jnp.mean(rhat)),
+        "eff_mean": float(jnp.mean(ess)) / n_draws,
+    }
+
+for label, kw in [("fused", {"use_pallas": "separable"}), ("xla", {})]:
+    h = HMC(sn, init_with_seed(512, 256, seed=21), 0.25, 8, **kw).seed(21)
+    out["hmc_sep_" + label] = sep_summary(h.run(768, 256))
+
+det["hmc_sep_same"], det["hmc_sep_digest"] = twice(lambda: HMC(
+    sn, init_with_seed(512, 64, seed=23), 0.3, 6,
+    use_pallas="separable").seed(23))
+
 print(json.dumps(out))
 """
 
@@ -572,6 +598,35 @@ def test_tpu_hw_rng_uniform_statistics(tpu_results):
     assert abs(r["unif_mean"] - 0.5) < 5.0 * (1.0 / (12.0 * n)) ** 0.5, r
     assert abs(r["unif_lag1"]) < 5.0 / n**0.5, r
     assert r["unif_ks"] < 2.2 / n**0.5, r
+
+
+def _check_sep(r):
+    assert abs(r["mean"]) < 0.02, r
+    assert abs(r["var"] - 1.0) < 0.05, r
+    assert 0.95 <= r["rhat_mean"] <= 1.05, r
+    assert r["eff_mean"] >= 0.02, r
+
+
+def test_tpu_hmc_separable_fused_quality(tpu_results):
+    """The large-D separable tier (VMEM-resident trajectory, in-kernel
+    momentum, XLA accept) must sample the d=256 standard normal
+    correctly on hardware."""
+    _check_sep(tpu_results["hmc_sep_fused"])
+
+
+def test_tpu_hmc_separable_matches_xla_path(tpu_results):
+    """Fused vs XLA lattice of the same sampler: moments and mixing
+    efficiency agree (different PRNG stream, same distribution)."""
+    a, b = tpu_results["hmc_sep_fused"], tpu_results["hmc_sep_xla"]
+    _check_sep(b)
+    assert abs(a["mean"] - b["mean"]) < 0.02, (a, b)
+    assert abs(a["var"] - b["var"]) < 0.05, (a, b)
+    assert a["eff_mean"] >= 0.5 * b["eff_mean"], (a, b)
+
+
+def test_tpu_hmc_separable_same_seed_bitwise(tpu_results):
+    det = tpu_results["determinism"]
+    assert det["hmc_sep_same"], det
 
 
 _PROGRESS_FLAGSHIP_SCRIPT = r"""
