@@ -199,30 +199,46 @@ def validate_dc_forms(target: "Target", positions, *, rtol: float = 3e-4,
     mask real dropped-term bugs. CPU evaluation is a handful of tiny
     batches — construction-time cost is negligible either way.
     """
-    import contextlib
-
     import numpy as np
 
     if target.logp_dc is None and target.grad_dc is None:
         return  # both forms derive from the batch form; nothing to disagree
-    try:
-        ctx = jax.default_device(jax.devices("cpu")[0])
-    except RuntimeError:  # pragma: no cover - cpu backend always present
-        ctx = contextlib.nullcontext()
-    with ctx:
+    with _cpu_probe_ctx():
         _validate_dc_forms_impl(target, positions, np, rtol, atol, max_rows,
                                 need_grad)
 
 
-def _validate_dc_forms_impl(target, positions, np, rtol, atol, max_rows,
-                            need_grad):
-    # round-trip through host: committed device arrays would otherwise pin
-    # the probe back onto their own (TPU) device despite default_device
+def _cpu_probe_ctx():
+    """CPU-backend context for the construction-time validation probes
+    (see :func:`validate_dc_forms`'s rationale: on TPU the forms take
+    different compute paths whose float noise would force tolerances
+    loose enough to mask real bugs)."""
+    import contextlib
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:  # pragma: no cover - cpu backend always present
+        return contextlib.nullcontext()
+
+
+def _host_probe_rows(positions, max_rows, np):
+    """First ``max_rows`` of ``positions`` as a fresh host-backed array.
+
+    The round-trip through host matters: committed device arrays would
+    otherwise pin the probe back onto their own (TPU) device despite
+    ``jax.default_device``.
+    """
     x = jnp.asarray(np.asarray(positions)[:max_rows])
     if x.ndim != 2:
         raise ValueError(
             f"positions must be [n_chains, D]; got shape {x.shape}"
         )
+    return x
+
+
+def _validate_dc_forms_impl(target, positions, np, rtol, atol, max_rows,
+                            need_grad):
+    x = _host_probe_rows(positions, max_rows, np)
     x_dc = x.T
 
     def _fail(form, want, got):
@@ -297,20 +313,19 @@ def validate_separable(target: "Target", positions, *, rtol: float = 3e-4,
     Runs eagerly on the CPU backend (same rationale as
     :func:`validate_dc_forms`); opt out with ``validate_dc=False``.
     """
-    import contextlib
-
     import numpy as np
 
-    try:
-        ctx = jax.default_device(jax.devices("cpu")[0])
-    except RuntimeError:  # pragma: no cover - cpu backend always present
-        ctx = contextlib.nullcontext()
-    with ctx:
-        x = jnp.asarray(np.asarray(positions)[:max_rows])
-        if x.ndim != 2:
-            raise ValueError(
-                f"positions must be [n_chains, D]; got shape {x.shape}"
-            )
+    _MSG = (
+        "The separable fused HMC tier (use_pallas='separable') evaluates "
+        "the density independently per coordinate tile and would sample "
+        "a WRONG (product-approximation) posterior. Use "
+        "use_pallas=True/'full' (small D) or the XLA path, or pass "
+        "validate_dc=False if the density really is separable (e.g. it "
+        "is non-additive only through float noise, or its batch form "
+        "merely rejects narrowed slices)."
+    )
+    with _cpu_probe_ctx():
+        x = _host_probe_rows(positions, max_rows, np)
         d = x.shape[1]
         if d < 2:
             return  # one coordinate is trivially separable
@@ -319,8 +334,18 @@ def validate_separable(target: "Target", positions, *, rtol: float = 3e-4,
         got = np.zeros_like(want)
         lo = 0
         for hi in cuts:
-            got = got + np.asarray(target.batch_logp(x[:, lo:hi]),
-                                   np.float64)
+            try:
+                part = target.batch_logp(x[:, lo:hi])
+            except Exception as e:
+                # fixed-D linear algebra (solve/cholesky against a [D, D]
+                # covariance) rejects the narrowed slice outright — name
+                # the real problem instead of leaking the shape error
+                raise ValueError(
+                    "target is not coordinate-separable: batch_logp "
+                    f"failed on a [{x.shape[0]}, {hi - lo}] coordinate "
+                    f"slice ({type(e).__name__}: {e}). " + _MSG
+                ) from e
+            got = got + np.asarray(part, np.float64)
             lo = hi
         close = np.isclose(got, want, rtol=rtol,
                            atol=atol * np.maximum(np.abs(want), 1.0))
@@ -329,13 +354,7 @@ def validate_separable(target: "Target", positions, *, rtol: float = 3e-4,
             raise ValueError(
                 "target is not coordinate-separable: logp over coordinate "
                 "chunks does not sum to the full logp (max abs err "
-                f"{np.nanmax(err):.3g}). The separable fused HMC tier "
-                "(use_pallas='separable') evaluates the density "
-                "independently per coordinate tile and would sample a "
-                "WRONG (product-approximation) posterior. Use "
-                "use_pallas=True/'full' (small D) or the XLA path, or "
-                "pass validate_dc=False if the density is separable but "
-                "non-additive only through float noise."
+                f"{np.nanmax(err):.3g}). " + _MSG
             )
 
 

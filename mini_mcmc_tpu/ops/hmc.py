@@ -156,8 +156,12 @@ def hmc_kernel(
 
     def init_fn(positions: jax.Array):
         if pallas_sep is not None:
-            return HMCSepState(positions=positions,
-                               logp=target.batch_logp(positions))
+            # pin the carry dtype against a promoting user logp (CLAUDE.md
+            # kernel invariant; the kernel's partial energies are pos-dtype)
+            return HMCSepState(
+                positions=positions,
+                logp=target.batch_logp(positions).astype(positions.dtype),
+            )
         logp, grad = target.batch_logp_and_grad(positions)
         return HMCState(positions=positions, logp=logp, grad=grad)
 

@@ -77,47 +77,56 @@ from . import rng as _rng
 _TILE_ELEMS = 1 << 19
 
 
-def _divisor_at_most(n: int, cap: int) -> int:
-    """Largest divisor of ``n`` that is <= ``cap`` (>= 1)."""
-    cap = max(1, min(cap, n))
-    for k in range(cap, 0, -1):
-        if n % k == 0:
-            return k
-    return 1
+def _divisors(n: int) -> set:
+    out = set()
+    i = 1
+    while i * i <= n:
+        if n % i == 0:
+            out.add(i)
+            out.add(n // i)
+        i += 1
+    return out
 
 
 def pick_tile(c: int, d: int, block_c: int | None, block_d: int | None):
     """Choose a ``[bc, bd]`` tile obeying Mosaic's block rules: the last
     (lane) block dim must be a 128-multiple or the FULL ``d``; the
     sublane block dim an 8-multiple or the full ``c``. The d-axis rides
-    the 128-wide lanes, so prefer the largest lane-aligned divisor under
-    the VMEM budget; dims with no 128-multiple divisor (d = 10,000 =
-    2^4 * 5^4 has none) fall back to ``bd = d`` with a narrower chain
-    tile. Explicit ``block_c``/``block_d`` are divisibility-checked only
-    (interpreter tests use tiny unaligned blocks)."""
-    if block_d:
-        bd = block_d
-        if d % bd:
-            raise ValueError(f"block_d={bd} must divide dim={d}")
-    else:
-        lane_divs = [k for k in range(128, _TILE_ELEMS // 8 + 1, 128)
-                     if d % k == 0]
-        bd = lane_divs[-1] if lane_divs else d
-    if block_c:
-        bc = block_c
-        if c % bc:
-            raise ValueError(f"block_c={bc} must divide n_chains={c}")
-    else:
-        cap = max(1, _TILE_ELEMS // bd)
-        bc = _divisor_at_most(c, cap)
-        while bc > 1 and bc % 8 and bc != c:  # sublane alignment
-            bc = _divisor_at_most(c, bc - 1)
-        if bc % 8 and bc != c:
-            bc = c  # full-dim block is always legal
-    if bc * bd > (1 << 23):
+    the 128-wide lanes, so the search prefers the largest lane-aligned
+    divisor of ``d`` that still admits a legal chain tile INSIDE the
+    VMEM element budget (the first auto-picker maximised ``bd`` before
+    checking the budget, so a ``c`` with no 8-multiple divisor fell back
+    to a full-``c`` tile up to ~13x over budget — a Mosaic VMEM compile
+    failure at shapes like c=100, d=65536). Dims with no aligned divisor
+    (d = 10,000 = 2^4 * 5^4 has no 128-multiple one) use the full dim on
+    that axis. Explicit ``block_c``/``block_d`` are divisibility-checked
+    only (interpreter tests use tiny unaligned blocks), with a hard
+    backstop far above any legal tile."""
+    if block_d and d % block_d:
+        raise ValueError(f"block_d={block_d} must divide dim={d}")
+    if block_c and c % block_c:
+        raise ValueError(f"block_c={block_c} must divide n_chains={c}")
+    # Mosaic-legal options per axis: aligned divisors, or the full dim.
+    bc_opts = ([block_c] if block_c else
+               sorted(k for k in _divisors(c) if k % 8 == 0 or k == c))
+    bd_opts = ([block_d] if block_d else
+               sorted((k for k in _divisors(d) if k % 128 == 0 or k == d),
+                      reverse=True))
+    fallback = None  # smallest legal tile, used when nothing fits
+    for bd in bd_opts:  # widest lane tile first
+        fit = [k for k in bc_opts if k * bd <= _TILE_ELEMS]
+        if fit:
+            return max(fit), bd
+        if fallback is None or bc_opts[0] * bd < fallback[0] * fallback[1]:
+            fallback = (bc_opts[0], bd)
+    bc, bd = fallback
+    if bc * bd > ((1 << 23) if (block_c or block_d) else 2 * _TILE_ELEMS):
         raise ValueError(
-            f"tile [{bc}, {bd}] exceeds the VMEM budget ({bc * bd * 4} "
-            "bytes/array); pick smaller block_c/block_d"
+            f"no Mosaic-legal tile for [{c}, {d}] fits the VMEM budget: "
+            f"the smallest is [{bc}, {bd}] = {bc * bd * 4} bytes/array "
+            f"(budget {_TILE_ELEMS * 4}). Pass explicit block_c/block_d, "
+            "or pad n_chains to a multiple of 8 / dim to a multiple of "
+            "128 so an aligned divisor exists."
         )
     return bc, bd
 
@@ -218,7 +227,9 @@ def make_pallas_hmc_separable(
         ke0_out[:] = 0.5 * jnp.sum(mom * mom, axis=1, keepdims=True)
         pos, mom = trajectory(pos, mom, eps)
         pos_out[:] = pos
-        pe_out[:] = batch_logp(pos)[:, None]
+        # pin the user density's output dtype (CLAUDE.md kernel invariant:
+        # under jax_enable_x64 a promoting logp would fail the f32 ref swap)
+        pe_out[:] = batch_logp(pos).astype(pos.dtype)[:, None]
         ke1_out[:] = 0.5 * jnp.sum(mom * mom, axis=1, keepdims=True)
 
     def kernel_debug(eps_ref, pos_ref, mom_ref, pos_out, mom_out, pe_out,
@@ -230,7 +241,7 @@ def make_pallas_hmc_separable(
         pos, mom = trajectory(pos, mom, eps)
         pos_out[:] = pos
         mom_out[:] = mom
-        pe_out[:] = batch_logp(pos)[:, None]
+        pe_out[:] = batch_logp(pos).astype(pos.dtype)[:, None]
         ke1_out[:] = 0.5 * jnp.sum(mom * mom, axis=1, keepdims=True)
 
     @functools.partial(jax.jit, static_argnames=())

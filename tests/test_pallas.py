@@ -818,3 +818,78 @@ def test_separable_state_checkpoint_roundtrip(tmp_path):
                                   np.asarray(r.state.positions))
     np.testing.assert_array_equal(np.asarray(s.state.logp),
                                   np.asarray(r.state.logp))
+
+
+def test_separable_pick_tile_respects_vmem_budget():
+    """pick_tile must never auto-pick a tile over the VMEM element budget
+    when an in-budget Mosaic-legal tile exists: a chain count with no
+    8-multiple divisor (c=100) combined with a wide lane dim used to fall
+    back to a full-c tile ~13x over budget (Mosaic VMEM compile failure)
+    instead of narrowing the lane tile."""
+    from mini_mcmc_tpu.ops.pallas.hmc_bigd import _TILE_ELEMS, pick_tile
+
+    for c, d in [(100, 65536), (36, 65536), (1024, 10_000), (6, 10_000),
+                 (8, 1 << 20), (23, 4096)]:
+        bc, bd = pick_tile(c, d, None, None)
+        assert c % bc == 0 and d % bd == 0, (c, d, bc, bd)
+        # Mosaic legality: aligned or full-dim on each axis
+        assert bc % 8 == 0 or bc == c, (c, d, bc, bd)
+        assert bd % 128 == 0 or bd == d, (c, d, bc, bd)
+        assert bc * bd <= _TILE_ELEMS, (c, d, bc, bd, bc * bd)
+    # no legal in-budget tiling exists (no aligned divisor on EITHER
+    # axis): the bounded fallback (<= 2x budget) applies, never more
+    bc, bd = pick_tile(100, 10_000, None, None)
+    assert (bc, bd) == (100, 10_000)
+    assert bc * bd <= 2 * _TILE_ELEMS
+    # explicit blocks stay divisibility-checked only
+    assert pick_tile(8, 40, 4, 10) == (4, 10)
+    with pytest.raises(ValueError, match="divide"):
+        pick_tile(8, 40, 3, 10)
+    # genuinely untileable shapes raise with guidance, not a Mosaic error
+    with pytest.raises(ValueError, match="VMEM budget"):
+        pick_tile(100003, 99991, None, None)
+
+
+def test_separable_kernel_pins_promoting_logp_dtype():
+    """CLAUDE.md kernel invariant: the suite runs with jax_enable_x64, so
+    a user density that promotes to float64 internally must not break the
+    f32 kernel (the partial-energy store is pinned to the positions
+    dtype)."""
+    from mini_mcmc_tpu.ops.pallas.hmc_bigd import make_pallas_hmc_separable
+
+    def promoting_logp(x):
+        return jnp.sum(-0.5 * x.astype(jnp.float64) ** 2, axis=-1)
+
+    c, d, L = 8, 24, 3
+    rng = np.random.RandomState(5)
+    pos = jnp.asarray(rng.randn(c, d).astype(np.float32))
+    mom = jnp.asarray(rng.randn(c, d).astype(np.float32))
+    traj = make_pallas_hmc_separable(promoting_logp, L, interpret=True,
+                                     mom_input=True, block_c=4, block_d=8)
+    pos_p, mom_p, pe, ke0, ke1 = traj(pos, mom, 0.1)
+    assert pe.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(jnp.sum(pe, axis=1)),
+        np.asarray(jnp.sum(-0.5 * pos_p.astype(jnp.float64) ** 2, axis=-1),
+                   np.float32),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_validate_separable_names_slice_rejecting_targets():
+    """A correlated target whose batch form does fixed-D linear algebra
+    rejects narrowed coordinate slices with a shape error; the validator
+    must surface the named separability ValueError (with the
+    validate_dc=False escape hatch), not the raw shape error."""
+    from mini_mcmc_tpu.models import Target, validate_separable
+
+    prec = jnp.asarray(np.linalg.inv([[2.0, 0.5], [0.5, 1.0]]),
+                       jnp.float32)
+
+    def strict_logp(x):
+        # [C, 2] @ [2, 2] — a [C, 1] slice raises instead of broadcasting
+        return -0.5 * jnp.sum((x @ prec) * x, axis=-1)
+
+    t = Target(logp=lambda x: strict_logp(x[None, :])[0],
+               logp_batch=strict_logp)
+    with pytest.raises(ValueError, match="separable"):
+        validate_separable(t, init_det(16, 2))
