@@ -4,6 +4,7 @@ from . import multihost
 from .mesh import (
     chain_mesh,
     chain_sharding,
+    chain_state_mesh,
     data_mesh,
     replicated_sharding,
     shard_chains,
@@ -12,6 +13,7 @@ from .mesh import (
 
 __all__ = [
     "chain_mesh",
+    "chain_state_mesh",
     "chain_sharding",
     "data_mesh",
     "replicated_sharding",

@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 CHAIN_AXIS = "chains"
 DATA_AXIS = "data"
+STATE_AXIS = "state"
 
 
 def chain_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -54,6 +55,34 @@ def data_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
+def chain_state_mesh(n_chain_shards: int, n_state_shards: int,
+                     devices=None) -> Mesh:
+    """2-D ``("chains", "state")`` mesh for states too large for one
+    chip's HBM: chains split over the first axis, the STATE DIMENSION
+    over the second (SURVEY.md section 5's "sharding the state dimension"
+    axis for very large d). With ``n_chain_shards=1`` this is pure
+    state-dimension sharding.
+
+    Under this mesh, :func:`shard_sampler_state` with
+    ``shard_state_dim=True`` lays every ``[C, D]`` leaf out as
+    ``P("chains", "state")``; the sampling scan then needs exactly one
+    all-reduce-family collective per energy reduction (the logp and
+    kinetic-energy sums cross the state axis) and nothing heavier — an
+    elementwise-gradient target's leapfrog never communicates. See
+    ``tests/test_parallel.py`` for the HLO pin.
+    """
+    if devices is None:
+        devices = jax.devices()
+    n = n_chain_shards * n_state_shards
+    if len(devices) < n:
+        raise ValueError(
+            f"need {n} devices for a {n_chain_shards}x{n_state_shards} "
+            f"mesh; have {len(devices)}"
+        )
+    grid = np.array(devices[:n]).reshape(n_chain_shards, n_state_shards)
+    return Mesh(grid, (CHAIN_AXIS, STATE_AXIS))
+
+
 def chain_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     """Sharding for a ``[chains, ...]`` array: chains split over the mesh,
     trailing axes replicated."""
@@ -70,7 +99,7 @@ def shard_chains(mesh: Mesh, array: jax.Array) -> jax.Array:
     return jax.device_put(array, chain_sharding(mesh, array.ndim))
 
 
-def shard_sampler_state(mesh: Mesh, state):
+def shard_sampler_state(mesh: Mesh, state, *, shard_state_dim: bool = False):
     """Shard every leaf of a sampler state pytree along its chains axis;
     scalar leaves are replicated.
 
@@ -78,26 +107,49 @@ def shard_sampler_state(mesh: Mesh, state):
     type may override per field with a ``CHAIN_AXIS_INDEX`` class attribute
     mapping field name -> axis index or ``None`` (replicate) — e.g. the
     parallel-tempering state keeps chains on axis 1 behind the temperature
-    ladder (``ops/tempering.py``)."""
+    ladder (``ops/tempering.py``).
+
+    ``shard_state_dim=True`` (requires a mesh with a ``"state"`` axis,
+    :func:`chain_state_mesh`) additionally splits the LAST axis of every
+    rank >= 2 leaf over that axis — the `[C, D]` positions/gradients of
+    states too large for one chip's HBM. Chain-axis-only meshes ignore
+    the flag's target leaves' last axis (an explicit error beats silent
+    replication)."""
+    chain_in_mesh = CHAIN_AXIS in mesh.axis_names
+    if shard_state_dim and STATE_AXIS not in mesh.axis_names:
+        raise ValueError(
+            f"shard_state_dim=True needs a mesh with a '{STATE_AXIS}' "
+            f"axis (see chain_state_mesh); got axes {mesh.axis_names}"
+        )
+
+    def spec_for(ndim: int, chain_axis) -> P:
+        spec = [None] * ndim
+        if chain_axis is not None and chain_in_mesh:
+            spec[chain_axis] = CHAIN_AXIS
+        if (shard_state_dim and ndim >= 2
+                and spec[ndim - 1] is None):
+            spec[ndim - 1] = STATE_AXIS
+        return P(*spec)
+
     axis_of = getattr(type(state), "CHAIN_AXIS_INDEX", None)
     if axis_of is not None and hasattr(state, "_fields"):
         placed = {}
         for name in state._fields:
             x = getattr(state, name)
             axis = axis_of.get(name, 0)
-            if axis is None or getattr(x, "ndim", 0) < 1:
+            if getattr(x, "ndim", 0) < 1 or (axis is None
+                                             and not shard_state_dim):
                 placed[name] = jax.device_put(x, replicated_sharding(mesh))
             else:
-                spec = [None] * x.ndim
-                spec[axis] = CHAIN_AXIS
                 placed[name] = jax.device_put(
-                    x, NamedSharding(mesh, P(*spec))
+                    x, NamedSharding(mesh, spec_for(x.ndim, axis))
                 )
         return type(state)(**placed)
 
     def place(x):
-        if getattr(x, "ndim", 0) >= 1:
-            return jax.device_put(x, chain_sharding(mesh, x.ndim))
+        ndim = getattr(x, "ndim", 0)
+        if ndim >= 1:
+            return jax.device_put(x, NamedSharding(mesh, spec_for(ndim, 0)))
         return jax.device_put(x, replicated_sharding(mesh))
 
     return jax.tree_util.tree_map(place, state)

@@ -696,3 +696,69 @@ def test_chees_production_scan_zero_collectives_warmup_has_them():
         "ChEES warmup emitted no collectives — the cross-chain adaptation "
         "is not actually reducing over the mesh (positive control failed)"
     )
+
+
+def test_state_dim_sharded_hmc_matches_unsharded():
+    """SURVEY section 5's large-d axis: the STATE DIMENSION sharded over
+    the mesh (2x4 chains x state). The deterministic init state must
+    match the unsharded one to float tolerance and full runs must be
+    statistically equivalent — GSPMD partitions the same program, with
+    the energy reductions crossing the state axis."""
+    from mini_mcmc_tpu.models import standard_normal
+    from mini_mcmc_tpu.parallel import chain_state_mesh
+
+    c, d = 64, 512
+    t = standard_normal()
+    hmc = HMC(t, init_det(c, d), 0.15, 5).seed(7)
+    hmc2 = HMC(t, init_det(c, d), 0.15, 5).seed(7)
+    mesh = chain_state_mesh(2, 4)
+    hmc2.state = shard_sampler_state(mesh, hmc2.state,
+                                     shard_state_dim=True)
+    np.testing.assert_allclose(np.asarray(hmc.state.logp),
+                               np.asarray(hmc2.state.logp), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(hmc.state.grad),
+                               np.asarray(hmc2.state.grad), rtol=1e-6)
+    # positions leaf really is split over BOTH axes
+    n_dev = {s.device for s in hmc2.state.positions.addressable_shards}
+    assert len(n_dev) == 8
+
+    a = np.asarray(hmc.run(200, 100))
+    b = np.asarray(hmc2.run(200, 100))
+    assert abs(a.mean()) < 0.02 and abs(b.mean()) < 0.02, (a.mean(),
+                                                           b.mean())
+    assert abs(a.var() - 1.0) < 0.05 and abs(b.var() - 1.0) < 0.05
+
+
+def test_state_dim_sharded_scan_all_reduce_only():
+    """The D-sharded sampling scan's only communication is the energy
+    reductions (logp and kinetic-energy sums crossing the state axis) —
+    all-reduce family, nothing heavier: no gathers/permutes of the [C, D]
+    state itself. An elementwise-gradient target's leapfrog is
+    communication-free by construction."""
+    from mini_mcmc_tpu.models import standard_normal
+    from mini_mcmc_tpu.parallel import chain_state_mesh
+
+    hmc = HMC(standard_normal(), init_det(16, 1024), 0.15, 5).seed(7)
+    mesh = chain_state_mesh(2, 4)
+    hmc.state = shard_sampler_state(mesh, hmc.state, shard_state_dim=True)
+    hlo = hmc._runner.lower(
+        hmc.state, jax.random.PRNGKey(0), 32, 8,
+        tracker=None, time_major=False,
+    ).compile().as_text()
+    heavy = [op for op in _COLLECTIVE_OPS if op != "all-reduce"
+             and op in hlo]
+    assert not heavy, f"D-sharded scan emitted heavy collectives: {heavy}"
+    assert "all-reduce" in hlo, (
+        "D-sharded scan emitted no all-reduce — the energy reductions "
+        "are not actually crossing the state axis (positive control)"
+    )
+
+
+def test_shard_state_dim_requires_state_axis():
+    import pytest
+
+    from mini_mcmc_tpu.models import standard_normal
+
+    hmc = HMC(standard_normal(), init_det(16, 64), 0.1, 3).seed(0)
+    with pytest.raises(ValueError, match="state"):
+        shard_sampler_state(chain_mesh(), hmc.state, shard_state_dim=True)
