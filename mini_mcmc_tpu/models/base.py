@@ -49,6 +49,16 @@ class Target:
     #: log density and ``[D, C] -> [D, C]`` gradient (jnp ops only).
     logp_dc: Optional[Callable] = None
     grad_dc: Optional[Callable] = None
+    #: optional coordinate-sliced form for the separable fused HMC tier
+    #: (``ops/pallas/hmc_bigd.py``): ``(tile_logp, tables)`` where each
+    #: table is a ``[D]`` array of per-coordinate parameters and
+    #: ``tile_logp(x [C', d'], *tables each [1, d']) -> [C']`` evaluates
+    #: the density contribution of that coordinate slice — partial sums
+    #: over a coordinate partition must reconstruct the full density
+    #: (checked by :func:`validate_separable`). Lets heterogeneous
+    #: separable densities (per-coordinate scales, transform masks) ride
+    #: the tier; ``None`` defaults to the slice-agnostic batch form.
+    sep_form: Optional[tuple] = None
 
     def batch_logp(self, positions: jax.Array) -> jax.Array:
         """Log density for a ``[C, D]`` batch of positions -> ``[C]``."""
@@ -113,6 +123,25 @@ class Target:
         if self.grad_dc is not None:
             return logp_dc, self.grad_dc
         return logp_dc, derive_grad_dc(logp_dc)
+
+    def sep_forms(self):
+        """``(tile_logp, tables)`` for the separable fused HMC tier.
+
+        ``tile_logp(x [C', d'], *tables each [1, d']) -> [C']`` is the
+        density contribution of a coordinate slice; ``tables`` are
+        ``[D]`` per-coordinate parameter arrays whose matching slices the
+        kernel's grid mapping delivers per tile. Defaults to the batch
+        form with no tables — valid only for slice-agnostic
+        (iid-coordinate) densities; :func:`validate_separable` checks the
+        partition-sum contract at sampler construction either way. The
+        diag-metric and coordinate-transform wrappers
+        (``models/precondition.py``, ``models/transforms.py``) attach
+        composed ``sep_form``s so preconditioned/constrained targets
+        reach the tier.
+        """
+        if self.sep_form is not None:
+            return self.sep_form
+        return (lambda x, _f=self.batch_logp: _f(x)), ()
 
 
 def derive_logp_dc(batch_logp: Callable) -> Callable:
@@ -300,15 +329,18 @@ def validate_separable(target: "Target", positions, *, rtol: float = 3e-4,
     """Check that the target's density is coordinate-separable.
 
     The large-D fused HMC tier (``HMC(use_pallas="separable")``,
-    ``ops/pallas/hmc_bigd.py``) evaluates ``batch_logp`` independently on
-    coordinate TILES and sums the partials — only the true density when
+    ``ops/pallas/hmc_bigd.py``) evaluates the target's
+    :meth:`Target.sep_forms` tile density independently on coordinate
+    TILES and sums the partials — only the true density when
     ``logp(x) = sum_d f_d(x_d)`` exactly, including constants (a
     normalization constant not attached to per-coordinate terms breaks
     the partial-sum reconstruction). This probes additivity on (up to
-    ``max_rows`` of) the actual initial positions: the full-D density
-    must equal the sum over three coordinate chunks. A correlated target
-    (off-diagonal covariance, Rosenbrock coupling) raises ``ValueError``
-    instead of silently sampling a product approximation.
+    ``max_rows`` of) the actual initial positions: the full-D
+    ``batch_logp`` must equal the tile form summed over three coordinate
+    chunks (each chunk receiving its slice of the coordinate tables,
+    exactly as the kernel's grid mapping delivers them). A correlated
+    target (off-diagonal covariance, Rosenbrock coupling) raises
+    ``ValueError`` instead of silently sampling a product approximation.
 
     Runs eagerly on the CPU backend (same rationale as
     :func:`validate_dc_forms`); opt out with ``validate_dc=False``.
@@ -329,19 +361,28 @@ def validate_separable(target: "Target", positions, *, rtol: float = 3e-4,
         d = x.shape[1]
         if d < 2:
             return  # one coordinate is trivially separable
+        tile_logp, tables = target.sep_forms()
+        tables = tuple(jnp.asarray(t).reshape(1, -1) for t in tables)
+        for t in tables:
+            if t.shape != (1, d):
+                raise ValueError(
+                    f"sep_form coordinate tables must be [D] = [{d}] "
+                    f"arrays; got shape {t.shape[1:]}"
+                )
         cuts = sorted({d // 3, 2 * d // 3, d} - {0})
         want = np.asarray(target.batch_logp(x), np.float64)
         got = np.zeros_like(want)
         lo = 0
         for hi in cuts:
             try:
-                part = target.batch_logp(x[:, lo:hi])
+                part = tile_logp(x[:, lo:hi],
+                                 *(t[:, lo:hi] for t in tables))
             except Exception as e:
                 # fixed-D linear algebra (solve/cholesky against a [D, D]
                 # covariance) rejects the narrowed slice outright — name
                 # the real problem instead of leaking the shape error
                 raise ValueError(
-                    "target is not coordinate-separable: batch_logp "
+                    "target is not coordinate-separable: the tile density "
                     f"failed on a [{x.shape[0]}, {hi - lo}] coordinate "
                     f"slice ({type(e).__name__}: {e}). " + _MSG
                 ) from e

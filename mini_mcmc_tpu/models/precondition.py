@@ -236,6 +236,23 @@ def precondition_target(target: Target, metric: Preconditioner) -> Target:
             return _f(metric.to_x(y)) + metric.logdet().astype(y.dtype)
 
     logp_dc, grad_dc = _wrap_dc_forms(target, metric)
+
+    # A DIAGONAL metric preserves coordinate separability (y_d -> s_d*y_d
+    # is per-coordinate), so the whitened target keeps the separable fused
+    # HMC tier: the scale rides a coordinate TABLE — each kernel tile
+    # receives its [1, d'] slice via the grid mapping, and the tile density
+    # un-whitens locally. (Dense whitening couples coordinates; the tier's
+    # construction-time validate_separable then rejects it, correctly.)
+    sep_form = None
+    if metric.kind == "diag":
+        inner_tile, inner_tabs = target.sep_forms()
+        n_inner = len(inner_tabs)
+
+        def sep_tile_logp(y, *tabs, _f=inner_tile, _n=n_inner):
+            return _f(y * tabs[_n].astype(y.dtype), *tabs[:_n])
+
+        sep_form = (sep_tile_logp, tuple(inner_tabs) + (metric.scale,))
+
     return Target(
         logp=logp,
         logp_batch=logp_batch,
@@ -243,4 +260,5 @@ def precondition_target(target: Target, metric: Preconditioner) -> Target:
         logp_normalized=logp_normalized,
         logp_dc=logp_dc,
         grad_dc=grad_dc,
+        sep_form=sep_form,
     )

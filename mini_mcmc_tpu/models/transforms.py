@@ -405,6 +405,39 @@ class CoordinateTransform:
                             )[None])
                     return jnp.concatenate(rows, axis=0)
 
+        # Per-coordinate bijectors preserve coordinate separability, so
+        # the transformed target keeps the separable fused HMC tier
+        # (constrained sampling at large D): each bijector group's
+        # membership mask rides a coordinate TABLE — kernel tiles receive
+        # their [1, d'] mask slices via the grid mapping and apply the
+        # group's forward/log-Jacobian only where masked. The bijector
+        # closures are elementwise jnp ops (exp/log1p/tanh), which Mosaic
+        # lowers. Composes with an inner sep_form (its tables go first).
+        inner_tile, inner_tabs = target.sep_forms()
+        n_inner = len(inner_tabs)
+        group_bijs = [bij for bij, _ in self._groups]
+
+        def sep_tile_logp(y, *tabs, _f=inner_tile, _n=n_inner,
+                          _bijs=group_bijs):
+            masks = tabs[_n:]
+            x = y
+            acc = jnp.zeros(y.shape[:-1], y.dtype)
+            zero = jnp.zeros_like(y)
+            for bij, m in zip(_bijs, masks):
+                sel = m > 0
+                x = jnp.where(sel, bij.forward(y), x)
+                acc = acc + jnp.sum(
+                    jnp.where(sel, bij.log_det(y), zero), axis=-1
+                )
+            return _f(x, *tabs[:_n]) + acc
+
+        sep_form = (
+            sep_tile_logp,
+            tuple(inner_tabs) + tuple(
+                mask.astype(jnp.float32) for _, mask in self._groups
+            ),
+        )
+
         return Target(
             logp=logp,
             logp_batch=logp_batch,
@@ -412,6 +445,7 @@ class CoordinateTransform:
             logp_normalized=logp_normalized,
             logp_dc=logp_dc,
             grad_dc=grad_dc,
+            sep_form=sep_form,
         )
 
 

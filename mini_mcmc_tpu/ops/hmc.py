@@ -113,8 +113,12 @@ def hmc_kernel(
         # faster at L=10, so one kernel shape is kept.)
         from .pallas.hmc_bigd import make_pallas_hmc_separable
 
+        sep_tile_logp, sep_tables = target.sep_forms()
+        sep_tables = tuple(jnp.asarray(t).reshape(1, -1)
+                           for t in sep_tables)
         pallas_sep = make_pallas_hmc_separable(
-            target.batch_logp, n_leapfrog, interpret=pallas_interpret,
+            sep_tile_logp, n_leapfrog, n_tables=len(sep_tables),
+            interpret=pallas_interpret,
         )
     elif use_pallas:
         # Both forms derive when absent (models/base.py dc_forms): a plain
@@ -197,7 +201,7 @@ def hmc_kernel(
         c = pos.shape[0]
         eps = jnp.asarray(eps, pos.dtype)
         seed = key_to_seed(jax.random.fold_in(key, 0))
-        pos_prop, pe, ke0, ke1 = pallas_sep(pos, seed, eps)
+        pos_prop, pe, ke0, ke1 = pallas_sep(pos, seed, eps, *sep_tables)
         logp_prop = jnp.sum(pe, axis=1)
         h_current = -state.logp + jnp.sum(ke0, axis=1)
         h_proposed = -logp_prop + jnp.sum(ke1, axis=1)

@@ -131,29 +131,32 @@ def pick_tile(c: int, d: int, block_c: int | None, block_d: int | None):
     return bc, bd
 
 
-def _make_tile_trajectory(batch_logp, n_leapfrog: int):
+def _make_tile_trajectory(tile_logp, n_leapfrog: int):
     """The VMEM-resident L-step integrator over one coordinate tile, with
     the in-tile gradient derived from the density by AD (elementwise for
-    separable targets)."""
+    separable targets). ``tile_logp(x [c', d'], *tables each [1, d'])``;
+    the gradient is taken w.r.t. the positions only — the coordinate
+    tables (a diag-metric scale, transform group masks) are constants of
+    the trajectory."""
 
-    def tile_grad(x):
-        out, vjp = jax.vjp(batch_logp, x)
+    def tile_grad(x, tabs):
+        out, vjp = jax.vjp(lambda xx: tile_logp(xx, *tabs), x)
         (g,) = vjp(jnp.ones_like(out))
         return g
 
-    def trajectory(pos, mom, eps):
+    def trajectory(pos, mom, eps, tabs):
         # merged-kick leapfrog: interior half-kicks pair into one full
         # kick (mathematically identical to the half/half form; ~2 fewer
         # VPU ops per element per step — measurable when the whole
         # trajectory is VMEM-resident and VPU-bound)
         half = eps * 0.5
-        mom = mom + tile_grad(pos) * half
+        mom = mom + tile_grad(pos, tabs) * half
 
         def body(i, carry):
             pos, mom = carry
             pos = pos + eps * mom
             kick = jnp.where(i < n_leapfrog - 1, eps, half)
-            mom = mom + tile_grad(pos) * kick
+            mom = mom + tile_grad(pos, tabs) * kick
             return pos, mom
 
         pos, mom = lax.fori_loop(
@@ -172,9 +175,10 @@ def _scalar_spec(n, interpret):
 
 
 def make_pallas_hmc_separable(
-    batch_logp,
+    tile_logp,
     n_leapfrog: int,
     *,
+    n_tables: int = 0,
     block_c: int | None = None,
     block_d: int | None = None,
     interpret: bool = False,
@@ -183,13 +187,23 @@ def make_pallas_hmc_separable(
     """Build the TRAJECTORY-ONLY separable kernel (accept runs in XLA).
 
     Args:
-        batch_logp: ``[C', D'] -> [C']`` log density, valid on ANY
-            coordinate slice (the separability contract: partial sums
-            over coordinate tiles must reconstruct the full density —
-            checked by ``validate_separable`` at sampler construction).
-            The in-tile gradient is derived from it by AD (elementwise
-            for separable targets).
+        tile_logp: ``(x [C', D'], *tables each [1, D']) -> [C']`` log
+            density contribution of a coordinate slice (the separability
+            contract: partial sums over a coordinate partition must
+            reconstruct the full density — checked by
+            ``validate_separable`` at sampler construction). With
+            ``n_tables == 0`` this is a plain slice-agnostic batch form
+            (valid for iid-coordinate densities); per-coordinate
+            parameters (a diag-metric scale, transform group masks, a
+            heterogeneous Gaussian's variances) ride the TABLES — each a
+            ``[1, D]`` array whose matching slice is delivered to every
+            tile by the Pallas grid mapping, so the density form itself
+            never indexes by coordinate. The in-tile gradient is derived
+            from it by AD w.r.t. the positions only (elementwise for
+            separable targets).
         n_leapfrog: leapfrog steps fused into the kernel.
+        n_tables: number of ``[1, D]`` coordinate tables the density
+            consumes (``Target.sep_forms()``).
         block_c / block_d: tile shape (divisors of C / D); ``None`` picks
             automatically (:func:`pick_tile`).
         interpret: Pallas interpreter (CPU) — only with ``mom_input``
@@ -200,20 +214,21 @@ def make_pallas_hmc_separable(
             the HBM traffic the production one avoids).
 
     Returns:
-        production: ``traj(pos [C, D], seed int32[2], eps) ->
+        production: ``traj(pos [C, D], seed int32[2], eps, *tables) ->
         (pos_prop [C, D], pe [C, Gd], ke0 [C, Gd], ke1 [C, Gd])``
         where ``Gd = D / block_d`` and per chain
         ``logp(pos_prop) = sum(pe, axis=1)``,
         ``|mom_0|^2 / 2 = sum(ke0, axis=1)``,
         ``|mom_L|^2 / 2 = sum(ke1, axis=1)``.
 
-        debug: ``traj(pos, mom [C, D], eps) ->
+        debug: ``traj(pos, mom [C, D], eps, *tables) ->
         (pos_prop, mom_prop [C, D], pe, ke0, ke1)``.
     """
-    trajectory = _make_tile_trajectory(batch_logp, n_leapfrog)
+    trajectory = _make_tile_trajectory(tile_logp, n_leapfrog)
 
-    def kernel(seed_ref, eps_ref, pos_ref, pos_out, pe_out, ke0_out,
-               ke1_out):
+    def kernel(seed_ref, eps_ref, pos_ref, *rest):
+        tabs = tuple(r[:] for r in rest[:n_tables])
+        pos_out, pe_out, ke0_out, ke1_out = rest[n_tables:]
         # distinct (i, j) tiles get distinct seed PAIRS: the d-tile index
         # perturbs word 1, the c-tile index word 0 — no cross-tile stream
         # aliasing is possible within a step.
@@ -225,44 +240,60 @@ def make_pallas_hmc_separable(
         pos = pos_ref[:]
         mom = _rng.normals_paired(pos.shape)
         ke0_out[:] = 0.5 * jnp.sum(mom * mom, axis=1, keepdims=True)
-        pos, mom = trajectory(pos, mom, eps)
+        pos, mom = trajectory(pos, mom, eps, tabs)
         pos_out[:] = pos
         # pin the user density's output dtype (CLAUDE.md kernel invariant:
         # under jax_enable_x64 a promoting logp would fail the f32 ref swap)
-        pe_out[:] = batch_logp(pos).astype(pos.dtype)[:, None]
+        pe_out[:] = tile_logp(pos, *tabs).astype(pos.dtype)[:, None]
         ke1_out[:] = 0.5 * jnp.sum(mom * mom, axis=1, keepdims=True)
 
-    def kernel_debug(eps_ref, pos_ref, mom_ref, pos_out, mom_out, pe_out,
-                     ke0_out, ke1_out):
+    def kernel_debug(eps_ref, pos_ref, mom_ref, *rest):
+        tabs = tuple(r[:] for r in rest[:n_tables])
+        pos_out, mom_out, pe_out, ke0_out, ke1_out = rest[n_tables:]
         eps = eps_ref[0]
         pos = pos_ref[:]
         mom = mom_ref[:]
         ke0_out[:] = 0.5 * jnp.sum(mom * mom, axis=1, keepdims=True)
-        pos, mom = trajectory(pos, mom, eps)
+        pos, mom = trajectory(pos, mom, eps, tabs)
         pos_out[:] = pos
         mom_out[:] = mom
-        pe_out[:] = batch_logp(pos).astype(pos.dtype)[:, None]
+        pe_out[:] = tile_logp(pos, *tabs).astype(pos.dtype)[:, None]
         ke1_out[:] = 0.5 * jnp.sum(mom * mom, axis=1, keepdims=True)
 
     @functools.partial(jax.jit, static_argnames=())
-    def traj(pos_cd, arg2, eps):
+    def traj(pos_cd, arg2, eps, *tables):
         c, d = pos_cd.shape
         dtype = pos_cd.dtype
+        if len(tables) != n_tables:
+            raise ValueError(
+                f"kernel built for {n_tables} coordinate tables, "
+                f"called with {len(tables)}"
+            )
+        for t in tables:
+            if t.shape != (1, d):
+                raise ValueError(
+                    f"coordinate tables must be [1, {d}]; got {t.shape}"
+                )
         bc, bd = pick_tile(c, d, block_c, block_d)
         grid = (c // bc, d // bd)
         gd = d // bd
 
         eps_arr = jnp.asarray(eps, dtype).reshape(1)
         tile_spec = pl.BlockSpec((bc, bd), lambda i, j: (i, j))
+        # each tile receives ITS [1, bd] slice of every coordinate table
+        # via the grid mapping — no in-kernel coordinate indexing
+        table_spec = pl.BlockSpec((1, bd), lambda i, j: (0, j))
         part_spec = pl.BlockSpec((bc, 1), lambda i, j: (i, j))
         part_shape = jax.ShapeDtypeStruct((c, gd), dtype)
+        table_specs = [table_spec] * n_tables
 
         if mom_input:
             mom_cd = jnp.asarray(arg2, dtype)
             return pl.pallas_call(
                 kernel_debug,
                 grid=grid,
-                in_specs=[_scalar_spec(1, interpret), tile_spec, tile_spec],
+                in_specs=[_scalar_spec(1, interpret), tile_spec, tile_spec,
+                          *table_specs],
                 out_specs=(tile_spec, tile_spec, part_spec, part_spec,
                            part_spec),
                 out_shape=(
@@ -271,20 +302,20 @@ def make_pallas_hmc_separable(
                     part_shape, part_shape, part_shape,
                 ),
                 interpret=interpret,
-            )(eps_arr, pos_cd, mom_cd)
+            )(eps_arr, pos_cd, mom_cd, *tables)
 
         seed_arr = jnp.asarray(arg2, jnp.int32).reshape(2)
         return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[_scalar_spec(2, interpret),
-                      _scalar_spec(1, interpret), tile_spec],
+                      _scalar_spec(1, interpret), tile_spec, *table_specs],
             out_specs=(tile_spec, part_spec, part_spec, part_spec),
             out_shape=(
                 jax.ShapeDtypeStruct((c, d), dtype),
                 part_shape, part_shape, part_shape,
             ),
             interpret=interpret,
-        )(seed_arr, eps_arr, pos_cd)
+        )(seed_arr, eps_arr, pos_cd, *tables)
 
     return traj
