@@ -658,6 +658,46 @@ def bench_extras() -> dict:
         "speedup_vs_xla_leapfrog": speedup,
         "quality_gate": "passed",
     }
+
+    # L-scaling sub-stage (the tier's raison d'etre): per-step HBM traffic
+    # is independent of L, so the advantage GROWS with trajectory length —
+    # gate the L=40 speedup so the headline claim is a recorded, ratcheted
+    # number instead of a code comment. Short runs (32+32): this measures
+    # per-step cost, not mixing; moments still gate correctness.
+    del sample_s, sub_s
+    l_long, n_long = 40, 32
+    eps_long = 0.05  # keep the accept rate healthy at 4x the trajectory
+    res = {}
+    for label, kw in (("xla", {}), ("sep", {"use_pallas": "separable"})):
+        h = HMC(standard_normal(), init_with_seed(c_hd, d_hd, seed=3),
+                eps_long, l_long, **kw).seed(3)
+        _sync(h.run(n_long, n_long, time_major=True))
+        cube, t = _timed_best(
+            lambda h=h: _sync(h.run(n_long, n_long, time_major=True)))
+        res[label] = (float(jnp.mean(cube)), float(jnp.var(cube)), t)
+        del cube
+    (m_x, v_x, t_x), (m_p, v_p, t_p) = res["xla"], res["sep"]
+    speedup40 = t_x / t_p
+    _gate("hmc10k-1024c-sepL40 mean", abs(m_p) < 0.03, m_p)
+    _gate("hmc10k-1024c-sepL40 var", abs(v_p - 1.0) < 0.06, v_p)
+    # measured 1.96x on v5e (2026-08-20); 1.3 floor leaves tunnel noise
+    # headroom while still failing any L-scaling regression
+    _gate("hmc10k-1024c-sepL40 speedup", speedup40 >= 1.3, speedup40)
+    steps_long = 2 * n_long
+    out["hmc_d10000_1024c"]["separable_fused_L40"] = {
+        "config": f"same shape at L={l_long} eps={eps_long}, "
+        f"{n_long}+{n_long} draws: the L-scaling claim, gated",
+        "elapsed_s_xla": t_x,
+        "elapsed_s_sep": t_p,
+        "xla_mean": m_x,
+        "xla_var": v_x,
+        "mean": m_p,
+        "var": v_p,
+        "draws_per_sec": steps_long * c_hd / t_p,
+        "grad_evals_per_sec": steps_long * c_hd * l_long / t_p,
+        "speedup_vs_xla_leapfrog": speedup40,
+        "quality_gate": "passed",
+    }
     return out
 
 
@@ -1524,6 +1564,10 @@ _PERF_FLOORS = {
     # r05 (2026-08-20): ~1.39e6 draws/s — the separable fused tier,
     # 1.27x the XLA leapfrog at this L=10 shape (1.96x at L=40)
     "hmc_d10000_1024c.separable_fused": {"rate": 5.5e5, "ess_mean": 9.0e3},
+    # r05: ~5e5 draws/s at L=40 (the L-scaling sub-stage — per-step cost
+    # ~2 ms at 4x the leapfrogs; the speedup itself is gated >= 1.3x
+    # inside the stage)
+    "hmc_d10000_1024c.separable_fused_L40": {"rate": 2.0e5},
     # r05: 4.38e8 / 2.78e7
     "mala_tuned_65k": {"rate": 1.7e8, "ess_mean": 7.0e6},
     # r05: 7.30e8 / 1.14e8

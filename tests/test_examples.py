@@ -41,6 +41,7 @@ def _run_example(name):
         "sgld_minibatch_logreg",
         "sgld_data_parallel",
         "constrained_transforms",
+        "bigd_separable_hmc",
     ],
 )
 def test_example(name):

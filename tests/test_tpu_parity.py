@@ -303,6 +303,26 @@ det["hmc_sep_same"], det["hmc_sep_digest"] = twice(lambda: HMC(
     sn, init_with_seed(512, 64, seed=23), 0.3, 6,
     use_pallas="separable").seed(23))
 
+# Composed coordinate tables through the separable kernel on hardware:
+# positive() bijector masks + a diag-metric scale tile alongside the
+# positions (models/base.py Target.sep_form). Natural-coordinate density
+# N(0,1) restricted to x > 0 is the HALF-NORMAL: mean sqrt(2/pi),
+# var 1 - 2/pi — quadrature-free exact moments.
+from mini_mcmc_tpu.models import estimate_preconditioner
+from mini_mcmc_tpu.models.transforms import CoordinateTransform, positive
+
+_d_sep = 256
+_tf = CoordinateTransform({i: positive() for i in range(_d_sep)}, _d_sep)
+_pre = estimate_preconditioner(init_with_seed(256, _d_sep, seed=31), "diag")
+h = HMC(sn, jnp.full((512, _d_sep), 1.0, jnp.float32), 0.22, 8,
+        use_pallas="separable", transform=_tf, metric=_pre).seed(4)
+s = h.run(512, 256)
+out["hmc_sep_constrained"] = {
+    "mean": float(jnp.mean(s)),
+    "var": float(jnp.var(s)),
+    "min": float(jnp.min(s)),
+}
+
 print(json.dumps(out))
 """
 
@@ -627,6 +647,19 @@ def test_tpu_hmc_separable_matches_xla_path(tpu_results):
 def test_tpu_hmc_separable_same_seed_bitwise(tpu_results):
     det = tpu_results["determinism"]
     assert det["hmc_sep_same"], det
+
+
+def test_tpu_hmc_separable_constrained_half_normal(tpu_results):
+    """Composed coordinate tables (positive() transform masks + diag
+    metric scale) through the separable kernel on hardware: N(0,1) on
+    natural coordinates restricted positive is the half-normal — exact
+    moments sqrt(2/pi) and 1 - 2/pi."""
+    import math
+
+    r = tpu_results["hmc_sep_constrained"]
+    assert r["min"] > 0.0, r
+    assert abs(r["mean"] - math.sqrt(2.0 / math.pi)) < 0.02, r
+    assert abs(r["var"] - (1.0 - 2.0 / math.pi)) < 0.02, r
 
 
 _PROGRESS_FLAGSHIP_SCRIPT = r"""
