@@ -138,10 +138,31 @@ class Target:
         (``models/precondition.py``, ``models/transforms.py``) attach
         composed ``sep_form``s so preconditioned/constrained targets
         reach the tier.
+
+        Tables come back normalized to ``[1, D]`` (the layout the kernel
+        tiles and the validator slices) — the ONE place the contract is
+        enforced; user ``sep_form`` tables may be ``[D]`` or ``[1, D]``.
         """
         if self.sep_form is not None:
-            return self.sep_form
+            fn, tables = self.sep_form
+            return fn, tuple(_norm_sep_table(t) for t in tables)
         return (lambda x, _f=self.batch_logp: _f(x)), ()
+
+
+def _norm_sep_table(t) -> jax.Array:
+    """Normalize a ``sep_form`` coordinate table to the ``[1, D]`` layout
+    the separable kernel tiles; reject anything that is not ``[D]`` or
+    ``[1, D]`` by its ACTUAL shape (a silently flattened ``[2, D/2]``
+    would pass a size check and corrupt the per-tile slicing)."""
+    arr = jnp.asarray(t)
+    if arr.ndim == 1:
+        return arr.reshape(1, -1)
+    if arr.ndim == 2 and arr.shape[0] == 1:
+        return arr
+    raise ValueError(
+        "sep_form coordinate tables must be [D] or [1, D] arrays; got "
+        f"shape {arr.shape}"
+    )
 
 
 def derive_logp_dc(batch_logp: Callable) -> Callable:
@@ -361,13 +382,12 @@ def validate_separable(target: "Target", positions, *, rtol: float = 3e-4,
         d = x.shape[1]
         if d < 2:
             return  # one coordinate is trivially separable
-        tile_logp, tables = target.sep_forms()
-        tables = tuple(jnp.asarray(t).reshape(1, -1) for t in tables)
+        tile_logp, tables = target.sep_forms()  # tables arrive [1, D]
         for t in tables:
-            if t.shape != (1, d):
+            if t.shape[1] != d:
                 raise ValueError(
-                    f"sep_form coordinate tables must be [D] = [{d}] "
-                    f"arrays; got shape {t.shape[1:]}"
+                    f"sep_form coordinate tables must cover all D={d} "
+                    f"coordinates; got a [1, {t.shape[1]}] table"
                 )
         cuts = sorted({d // 3, 2 * d // 3, d} - {0})
         want = np.asarray(target.batch_logp(x), np.float64)

@@ -113,9 +113,7 @@ def hmc_kernel(
         # faster at L=10, so one kernel shape is kept.)
         from .pallas.hmc_bigd import make_pallas_hmc_separable
 
-        sep_tile_logp, sep_tables = target.sep_forms()
-        sep_tables = tuple(jnp.asarray(t).reshape(1, -1)
-                           for t in sep_tables)
+        sep_tile_logp, sep_tables = target.sep_forms()  # tables [1, D]
         pallas_sep = make_pallas_hmc_separable(
             sep_tile_logp, n_leapfrog, n_tables=len(sep_tables),
             interpret=pallas_interpret,

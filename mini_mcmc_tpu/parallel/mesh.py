@@ -111,21 +111,26 @@ def shard_sampler_state(mesh: Mesh, state, *, shard_state_dim: bool = False):
 
     ``shard_state_dim=True`` (requires a mesh with a ``"state"`` axis,
     :func:`chain_state_mesh`) additionally splits the LAST axis of every
-    rank >= 2 leaf over that axis — the `[C, D]` positions/gradients of
-    states too large for one chip's HBM. Chain-axis-only meshes ignore
-    the flag's target leaves' last axis (an explicit error beats silent
-    replication)."""
-    chain_in_mesh = CHAIN_AXIS in mesh.axis_names
+    rank >= 2 chain-sharded leaf over that axis — the `[C, D]`
+    positions/gradients of states too large for one chip's HBM. Fields a
+    state type marks ``None`` in ``CHAIN_AXIS_INDEX`` stay fully
+    replicated either way (the marker means replicate-by-design; a
+    lookup table's last axis is not the state dimension)."""
+    if CHAIN_AXIS not in mesh.axis_names:
+        raise ValueError(
+            f"shard_sampler_state needs a mesh with a '{CHAIN_AXIS}' "
+            f"axis (chain_mesh or chain_state_mesh); got axes "
+            f"{mesh.axis_names}"
+        )
     if shard_state_dim and STATE_AXIS not in mesh.axis_names:
         raise ValueError(
             f"shard_state_dim=True needs a mesh with a '{STATE_AXIS}' "
             f"axis (see chain_state_mesh); got axes {mesh.axis_names}"
         )
 
-    def spec_for(ndim: int, chain_axis) -> P:
+    def spec_for(ndim: int, chain_axis: int) -> P:
         spec = [None] * ndim
-        if chain_axis is not None and chain_in_mesh:
-            spec[chain_axis] = CHAIN_AXIS
+        spec[chain_axis] = CHAIN_AXIS
         if (shard_state_dim and ndim >= 2
                 and spec[ndim - 1] is None):
             spec[ndim - 1] = STATE_AXIS
@@ -137,8 +142,7 @@ def shard_sampler_state(mesh: Mesh, state, *, shard_state_dim: bool = False):
         for name in state._fields:
             x = getattr(state, name)
             axis = axis_of.get(name, 0)
-            if getattr(x, "ndim", 0) < 1 or (axis is None
-                                             and not shard_state_dim):
+            if axis is None or getattr(x, "ndim", 0) < 1:
                 placed[name] = jax.device_put(x, replicated_sharding(mesh))
             else:
                 placed[name] = jax.device_put(

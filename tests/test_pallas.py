@@ -1026,3 +1026,18 @@ def test_separable_sep_form_mismatch_raises():
                logp_batch=batch_logp, sep_form=(bad_tile, (sigma,)))
     with pytest.raises(ValueError, match="separable"):
         validate_separable(t, init_det(16, d))
+
+
+def test_sep_form_table_shape_rejected_by_actual_shape():
+    """A [2, D/2] table has the right SIZE but the wrong shape — it must
+    be rejected by shape (a silent flatten would corrupt the per-tile
+    slicing), with the user's actual shape in the message."""
+    from mini_mcmc_tpu.models import Target
+
+    bad = jnp.ones((2, 4), jnp.float32)
+    t = Target(logp=lambda x: -0.5 * jnp.sum(x * x),
+               logp_batch=lambda x: jnp.sum(-0.5 * x * x, axis=-1),
+               sep_form=(lambda x, s: jnp.sum(-0.5 * x * x, axis=-1),
+                         (bad,)))
+    with pytest.raises(ValueError, match=r"\(2, 4\)"):
+        t.sep_forms()

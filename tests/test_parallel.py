@@ -762,3 +762,18 @@ def test_shard_state_dim_requires_state_axis():
     hmc = HMC(standard_normal(), init_det(16, 64), 0.1, 3).seed(0)
     with pytest.raises(ValueError, match="state"):
         shard_sampler_state(chain_mesh(), hmc.state, shard_state_dim=True)
+
+
+def test_shard_sampler_state_rejects_chainless_mesh():
+    """Passing a mesh without a 'chains' axis used to raise from inside
+    NamedSharding; the guard must keep failing loudly (a silent fallback
+    would replicate every chain on every device — 'sharded' in name
+    only)."""
+    import pytest
+
+    from mini_mcmc_tpu.models import standard_normal
+    from mini_mcmc_tpu.parallel import data_mesh
+
+    hmc = HMC(standard_normal(), init_det(16, 4), 0.1, 3).seed(0)
+    with pytest.raises(ValueError, match="chains"):
+        shard_sampler_state(data_mesh(), hmc.state)
