@@ -248,20 +248,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from mini_mcmc_tpu.ops.pallas import rng as _rng
 
-def draw_kernel(seed_ref, norm_out, unif_out):
+def draw_kernel(seed_ref, norm_out, unif_out, pair_out):
     pltpu.prng_seed(seed_ref[0], seed_ref[1])
     norm_out[:] = _rng.normals(norm_out.shape)
     unif_out[:] = _rng.uniform(unif_out.shape)
+    # the paired Box-Muller used by the separable HMC kernel's in-kernel
+    # momentum (hmc_bigd.py): both outputs of each transform
+    pair_out[:] = _rng.normals_paired(pair_out.shape)
 
 shape = (64, 16384)  # ~1e6 draws each
-norms, unifs = pl.pallas_call(
+norms, unifs, pairs = pl.pallas_call(
     draw_kernel,
     in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
     out_shape=(jax.ShapeDtypeStruct(shape, jnp.float32),
+               jax.ShapeDtypeStruct(shape, jnp.float32),
                jax.ShapeDtypeStruct(shape, jnp.float32)),
 )(jnp.asarray([123, 456], jnp.int32))
 norms = np.asarray(norms, np.float64).ravel()
 unifs = np.asarray(unifs, np.float64).ravel()
+pairs = np.asarray(pairs, np.float64)
+# cos/sin halves of one Box-Muller draw share a radius: check the halves
+# are each N(0,1) AND mutually uncorrelated (they are, for iid angles)
+half = pairs.shape[1] // 2
+pair_xcorr = float(np.corrcoef(pairs[:, :half].ravel(),
+                               pairs[:, half:].ravel())[0, 1])
+pairs = pairs.ravel()
 lag1 = lambda v: float(np.corrcoef(v[:-1], v[1:])[0, 1])
 from scipy.stats import kstest
 out["hw_rng"] = {
@@ -275,6 +286,12 @@ out["hw_rng"] = {
     "unif_mean": float(unifs.mean()),
     "unif_lag1": lag1(unifs),
     "unif_ks": float(kstest(unifs, "uniform").statistic),
+    "pair_mean": float(pairs.mean()), "pair_var": float(pairs.var()),
+    "pair_skew": float(((pairs - pairs.mean()) ** 3).mean()),
+    "pair_kurt": float(((pairs - pairs.mean()) ** 4).mean()),
+    "pair_lag1": lag1(pairs),
+    "pair_ks": float(kstest(pairs, "norm").statistic),
+    "pair_xcorr": pair_xcorr,
 }
 
 # Large-D separable tier (ops/pallas/hmc_bigd.py): VMEM-resident
@@ -302,6 +319,15 @@ for label, kw in [("fused", {"use_pallas": "separable"}), ("xla", {})]:
 det["hmc_sep_same"], det["hmc_sep_digest"] = twice(lambda: HMC(
     sn, init_with_seed(512, 64, seed=23), 0.3, 6,
     use_pallas="separable").seed(23))
+
+# Dual-averaged step-size tuning THROUGH the separable kernel: tuned()
+# adapts exactly the fused step (ops/hmc.py step_eps delegates to
+# _sep_step, whose alpha feeds the tuner), so the adapted eps must land
+# in a sane band and the tuned run must stay quality-clean.
+h = HMC(sn, init_with_seed(512, 256, seed=27), 0.05, 8,
+        use_pallas="separable").seed(27).tuned(n_adapt=128)
+out["hmc_sep_tuned"] = sep_summary(h.run(512, 128))
+out["hmc_sep_tuned"]["eps"] = float(h.step_size)
 
 # Composed coordinate tables through the separable kernel on hardware:
 # positive() bijector masks + a diag-metric scale tile alongside the
@@ -611,6 +637,22 @@ def test_tpu_hw_rng_normal_statistics(tpu_results):
     assert r["norm_ks"] < 2.2 / n**0.5, r
 
 
+def test_tpu_hw_rng_paired_normals_statistics(tpu_results):
+    """normals_paired (both Box-Muller outputs — the separable HMC
+    kernel's momentum RNG, ~half the transcendental cost): same moment /
+    KS / autocorrelation bounds as the one-output path, plus the cos/sin
+    halves of shared radii must be mutually uncorrelated."""
+    r = tpu_results["hw_rng"]
+    n = r["n"]
+    assert abs(r["pair_mean"]) < 5.0 / n**0.5, r
+    assert abs(r["pair_var"] - 1.0) < 5.0 * (2.0 / n) ** 0.5, r
+    assert abs(r["pair_skew"]) < 5.0 * (6.0 / n) ** 0.5, r
+    assert abs(r["pair_kurt"] - 3.0) < 5.0 * (24.0 / n) ** 0.5, r
+    assert abs(r["pair_lag1"]) < 5.0 / n**0.5, r
+    assert r["pair_ks"] < 2.2 / n**0.5, r
+    assert abs(r["pair_xcorr"]) < 5.0 / (n / 2) ** 0.5, r
+
+
 def test_tpu_hw_rng_uniform_statistics(tpu_results):
     r = tpu_results["hw_rng"]
     n = r["n"]
@@ -647,6 +689,17 @@ def test_tpu_hmc_separable_matches_xla_path(tpu_results):
 def test_tpu_hmc_separable_same_seed_bitwise(tpu_results):
     det = tpu_results["determinism"]
     assert det["hmc_sep_same"], det
+
+
+def test_tpu_hmc_separable_tuned(tpu_results):
+    """Dual-averaged step-size adaptation drives the separable kernel
+    itself (step_eps -> _sep_step alpha): the adapted eps must land in a
+    sane band for the d=256 standard normal (d^(-1/4)-ish scale, far
+    from the deliberately-too-small 0.05 start) and the tuned run stays
+    quality-clean."""
+    r = tpu_results["hmc_sep_tuned"]
+    _check_sep({k: r[k] for k in ("mean", "var", "rhat_mean", "eff_mean")})
+    assert 0.1 < r["eps"] < 1.0, r
 
 
 def test_tpu_hmc_separable_constrained_half_normal(tpu_results):
