@@ -378,6 +378,7 @@ def validate_separable(target: "Target", positions, *, rtol: float = 3e-4,
         "merely rejects narrowed slices)."
     )
     with _cpu_probe_ctx():
+        c_full = getattr(positions, "shape", (0,))[0]
         x = _host_probe_rows(positions, max_rows, np)
         d = x.shape[1]
         if d < 2:
@@ -389,34 +390,50 @@ def validate_separable(target: "Target", positions, *, rtol: float = 3e-4,
                     f"sep_form coordinate tables must cover all D={d} "
                     f"coordinates; got a [1, {t.shape[1]}] table"
                 )
-        cuts = sorted({d // 3, 2 * d // 3, d} - {0})
+        # Two partitions are checked: the documented contract (three
+        # arbitrary chunks — separability should not depend on where the
+        # cuts land) AND the kernel's ACTUAL tile boundaries (necessary
+        # for correctness: a density with coupling confined inside one
+        # contract chunk but CROSSING a kernel tile boundary would pass
+        # the three-chunk check alone and then sample the wrong
+        # posterior through the tiles — pinned in tests/test_pallas.py).
+        from ..ops.pallas.hmc_bigd import pick_tile
+
+        _, bd = pick_tile(int(c_full), d, None, None)
+        cut_sets = [sorted({d // 3, 2 * d // 3, d} - {0})]
+        if bd < d:
+            cut_sets.append(list(range(bd, d + 1, bd)))
         want = np.asarray(target.batch_logp(x), np.float64)
-        got = np.zeros_like(want)
-        lo = 0
-        for hi in cuts:
-            try:
-                part = tile_logp(x[:, lo:hi],
-                                 *(t[:, lo:hi] for t in tables))
-            except Exception as e:
-                # fixed-D linear algebra (solve/cholesky against a [D, D]
-                # covariance) rejects the narrowed slice outright — name
-                # the real problem instead of leaking the shape error
+        for cuts in cut_sets:
+            got = np.zeros_like(want)
+            lo = 0
+            for hi in cuts:
+                try:
+                    part = tile_logp(x[:, lo:hi],
+                                     *(t[:, lo:hi] for t in tables))
+                except Exception as e:
+                    # fixed-D linear algebra (solve/cholesky against a
+                    # [D, D] covariance) rejects the narrowed slice
+                    # outright — name the real problem instead of
+                    # leaking the shape error
+                    raise ValueError(
+                        "target is not coordinate-separable: the tile "
+                        f"density failed on a [{x.shape[0]}, {hi - lo}] "
+                        f"coordinate slice ({type(e).__name__}: {e}). "
+                        + _MSG
+                    ) from e
+                got = got + np.asarray(part, np.float64)
+                lo = hi
+            close = np.isclose(got, want, rtol=rtol,
+                               atol=atol * np.maximum(np.abs(want), 1.0))
+            if not np.all(close | (np.isneginf(want) & np.isneginf(got))):
+                err = np.abs(got - want)
                 raise ValueError(
-                    "target is not coordinate-separable: the tile density "
-                    f"failed on a [{x.shape[0]}, {hi - lo}] coordinate "
-                    f"slice ({type(e).__name__}: {e}). " + _MSG
-                ) from e
-            got = got + np.asarray(part, np.float64)
-            lo = hi
-        close = np.isclose(got, want, rtol=rtol,
-                           atol=atol * np.maximum(np.abs(want), 1.0))
-        if not np.all(close | (np.isneginf(want) & np.isneginf(got))):
-            err = np.abs(got - want)
-            raise ValueError(
-                "target is not coordinate-separable: logp over coordinate "
-                "chunks does not sum to the full logp (max abs err "
-                f"{np.nanmax(err):.3g}). " + _MSG
-            )
+                    "target is not coordinate-separable: logp over "
+                    f"coordinate chunks (cuts at {cuts[:4]}...) does not "
+                    "sum to the full logp (max abs err "
+                    f"{np.nanmax(err):.3g}). " + _MSG
+                )
 
 
 @dataclasses.dataclass(frozen=True)

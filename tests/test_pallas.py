@@ -1041,3 +1041,47 @@ def test_sep_form_table_shape_rejected_by_actual_shape():
                          (bad,)))
     with pytest.raises(ValueError, match=r"\(2, 4\)"):
         t.sep_forms()
+
+
+def test_validate_separable_checks_kernel_tile_boundaries():
+    """Correctness hole pin: a density additive across the validator's
+    three-chunk cuts but NOT across the kernel's tile boundaries would
+    pass a chunk-only additivity check and then sample the wrong
+    posterior through the tiles — the validator must test the kernel's
+    ACTUAL partition. Construction: 1024-wide block coupling at c=100,
+    d=9216 — the three-chunk cuts (3072, 6144) are block-aligned, the
+    kernel tile cut (bd=4608) is not."""
+    from mini_mcmc_tpu.models import Target, validate_separable
+    from mini_mcmc_tpu.ops.pallas.hmc_bigd import pick_tile
+
+    c, d, blk = 100, 9216, 1024
+    assert pick_tile(c, d, None, None) == (100, 4608)  # 4608 % 1024 != 0
+
+    def blocky_logp(x):
+        # iid base + a coupled term per 1024-block OF THE SLICE (a
+        # slice-agnostic form chops from its own start; remainder forms
+        # its own block) — additive exactly across block-aligned cuts
+        cc, w = x.shape
+        nb = w // blk
+        out = jnp.sum(-0.5 * x * x, axis=-1)
+        if nb:
+            b = x[:, :nb * blk].reshape(cc, nb, blk)
+            out = out - 0.5 * jnp.sum(
+                jnp.sum(b, axis=-1) ** 2, axis=-1) / blk
+        if w - nb * blk:
+            out = out - 0.5 * jnp.sum(x[:, nb * blk:], axis=-1) ** 2 / blk
+        return out
+
+    t = Target(logp=lambda x: blocky_logp(x[None, :])[0],
+               logp_batch=blocky_logp)
+    pos = jnp.asarray(np.random.RandomState(0)
+                      .randn(c, d).astype(np.float32))
+
+    # the hole's premise: the three-chunk partition alone PASSES
+    chunks = [pos[:, :3072], pos[:, 3072:6144], pos[:, 6144:]]
+    np.testing.assert_allclose(
+        np.asarray(sum(blocky_logp(ch) for ch in chunks)),
+        np.asarray(blocky_logp(pos)), rtol=1e-5)
+    # ...but the kernel's 4608-cut partition does not — must raise
+    with pytest.raises(ValueError, match="separable"):
+        validate_separable(t, pos)

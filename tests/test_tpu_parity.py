@@ -248,22 +248,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from mini_mcmc_tpu.ops.pallas import rng as _rng
 
-def draw_kernel(seed_ref, norm_out, unif_out, pair_out):
+def draw_kernel(seed_ref, norm_out, unif_out):
     pltpu.prng_seed(seed_ref[0], seed_ref[1])
     norm_out[:] = _rng.normals(norm_out.shape)
     unif_out[:] = _rng.uniform(unif_out.shape)
+
+def draw_paired_kernel(seed_ref, pair_out):
     # the paired Box-Muller used by the separable HMC kernel's in-kernel
-    # momentum (hmc_bigd.py): both outputs of each transform
+    # momentum (hmc_bigd.py): both outputs of each transform. Its own
+    # kernel: three [64, 16384] outputs + the Box-Muller temporaries
+    # overflow the 16 MB scoped VMEM in one kernel (hit on hardware).
+    pltpu.prng_seed(seed_ref[0], seed_ref[1])
     pair_out[:] = _rng.normals_paired(pair_out.shape)
 
 shape = (64, 16384)  # ~1e6 draws each
-norms, unifs, pairs = pl.pallas_call(
+norms, unifs = pl.pallas_call(
     draw_kernel,
     in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
     out_shape=(jax.ShapeDtypeStruct(shape, jnp.float32),
-               jax.ShapeDtypeStruct(shape, jnp.float32),
                jax.ShapeDtypeStruct(shape, jnp.float32)),
 )(jnp.asarray([123, 456], jnp.int32))
+pairs = pl.pallas_call(
+    draw_paired_kernel,
+    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+    out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+)(jnp.asarray([789, 12], jnp.int32))
 norms = np.asarray(norms, np.float64).ravel()
 unifs = np.asarray(unifs, np.float64).ravel()
 pairs = np.asarray(pairs, np.float64)
